@@ -1,0 +1,226 @@
+"""CLIP byte-BPE tokenizer, implemented from the published algorithm.
+
+Native replacement for the imported ``open_clip.tokenizer.SimpleTokenizer``
+the reference depends on (SURVEY.md §2.2; call sites factory.py:31,123-126):
+byte-pair encoding over a 49,408-entry vocab, context length 77, with
+``<|startoftext|>``/``<|endoftext|>`` specials. The EOT id (49407) is the
+highest id in any sequence, which the text tower's argmax pooling relies on
+(reference transformer.py:849-851).
+
+Offline-safe design: the merge table (``bpe_simple_vocab_16e6.txt.gz``) is an
+external asset. When a merges file is available (env var
+``COLXLIP_BPE_PATH`` or explicit argument) tokenization is bit-compatible
+with CLIP's. Without it, the tokenizer degrades to ZERO merges — pure
+byte-level BPE using the same id layout (ids 0-255 byte chars, 256-511
+byte+'</w>', specials at 49406/49407, vocab padded to 49408) — everything
+trains and evaluates identically except that pretrained-checkpoint text-side
+parity requires the real merge table.
+"""
+from __future__ import annotations
+
+import functools
+import gzip
+import html
+import os
+from typing import Iterable, List, Optional, Sequence, Union
+
+import numpy as np
+
+try:
+    import regex as re  # supports \p{L}/\p{N} classes like the original
+
+    _PAT = re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+        re.IGNORECASE,
+    )
+except ImportError:  # pragma: no cover - regex is available in this image
+    import re
+
+    _PAT = re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-z]+|[0-9]|[^\sa-z0-9]+""",
+        re.IGNORECASE,
+    )
+
+VOCAB_SIZE = 49408
+CONTEXT_LENGTH = 77
+SOT_TOKEN = 49406
+EOT_TOKEN = 49407
+DEFAULT_BPE_ENV = "COLXLIP_BPE_PATH"
+
+
+@functools.lru_cache()
+def bytes_to_unicode():
+    """Reversible byte <-> printable-unicode map (GPT-2/CLIP standard)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def get_pairs(word):
+    pairs = set()
+    prev = word[0]
+    for ch in word[1:]:
+        pairs.add((prev, ch))
+        prev = ch
+    return pairs
+
+
+def basic_clean(text: str) -> str:
+    # The original chains ftfy.fix_text; ftfy is unavailable offline, so we
+    # unescape HTML entities (twice, like ftfy+unescape does) and strip.
+    text = html.unescape(html.unescape(text))
+    return text.strip()
+
+
+def whitespace_clean(text: str) -> str:
+    import re as _re
+
+    return _re.sub(r"\s+", " ", text).strip()
+
+
+def _find_default_bpe() -> Optional[str]:
+    p = os.environ.get(DEFAULT_BPE_ENV)
+    if p and os.path.exists(p):
+        return p
+    here = os.path.join(os.path.dirname(__file__), "bpe_simple_vocab_16e6.txt.gz")
+    if os.path.exists(here):
+        return here
+    return None
+
+
+class SimpleTokenizer:
+    """CLIP BPE tokenizer (+ zero-merge byte fallback)."""
+
+    def __init__(
+        self,
+        bpe_path: Optional[str] = None,
+        context_length: int = CONTEXT_LENGTH,
+    ):
+        self.context_length = context_length
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+
+        bpe_path = bpe_path or _find_default_bpe()
+        if bpe_path is not None:
+            opener = gzip.open if bpe_path.endswith(".gz") else open
+            with opener(bpe_path, "rt", encoding="utf-8") as f:
+                merges = f.read().split("\n")
+            merges = merges[1 : 49152 - 256 - 2 + 1]
+            merges = [tuple(m.split()) for m in merges]
+        else:
+            merges = []
+        self.has_merges = bool(merges)
+
+        vocab = list(self.byte_encoder.values())
+        vocab = vocab + [v + "</w>" for v in vocab]
+        for merge in merges:
+            vocab.append("".join(merge))
+        self.encoder = {tok: i for i, tok in enumerate(vocab)}
+        # specials pinned to the canonical CLIP ids regardless of merge count,
+        # so argmax(EOT) pooling and the 49408-wide embedding stay valid.
+        self.encoder["<|startoftext|>"] = SOT_TOKEN
+        self.encoder["<|endoftext|>"] = EOT_TOKEN
+        self.decoder = {i: tok for tok, i in self.encoder.items()}
+        self.bpe_ranks = dict(zip(merges, range(len(merges))))
+        self.cache = {
+            "<|startoftext|>": "<|startoftext|>",
+            "<|endoftext|>": "<|endoftext|>",
+        }
+        self.vocab_size = VOCAB_SIZE
+        self.sot_token = SOT_TOKEN
+        self.eot_token = EOT_TOKEN
+        self.all_special_ids = [SOT_TOKEN, EOT_TOKEN]
+
+    def bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        if not self.bpe_ranks:
+            out = " ".join(word)
+            self.cache[token] = out
+            return out
+        pairs = get_pairs(word)
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if word[i] == first and i < len(word) - 1 and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = get_pairs(word)
+        out = " ".join(word)
+        self.cache[token] = out
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        bpe_tokens: List[int] = []
+        text = whitespace_clean(basic_clean(text)).lower()
+        for token in _PAT.findall(text):
+            token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            bpe_tokens.extend(self.encoder[t] for t in self.bpe(token).split(" "))
+        return bpe_tokens
+
+    def decode(self, tokens: Iterable[int]) -> str:
+        text = "".join(self.decoder.get(int(t), "") for t in tokens)
+        text = (
+            bytearray(self.byte_decoder.get(c, 32) for c in text)
+            .decode("utf-8", errors="replace")
+            .replace("</w>", " ")
+        )
+        return text
+
+    def __call__(
+        self,
+        texts: Union[str, Sequence[str]],
+        context_length: Optional[int] = None,
+    ) -> np.ndarray:
+        """Tokenize into a zero-padded [n, context_length] int32 array.
+
+        Over-long inputs are truncated with EOT forced into the last slot,
+        matching open_clip's tokenize() behavior.
+        """
+        if isinstance(texts, str):
+            texts = [texts]
+        context_length = context_length or self.context_length
+        result = np.zeros((len(texts), context_length), dtype=np.int32)
+        for i, text in enumerate(texts):
+            tokens = [self.sot_token] + self.encode(text) + [self.eot_token]
+            if len(tokens) > context_length:
+                tokens = tokens[:context_length]
+                tokens[-1] = self.eot_token
+            result[i, : len(tokens)] = tokens
+        return result
+
+
+@functools.lru_cache()
+def get_tokenizer_cached(context_length: int = CONTEXT_LENGTH) -> SimpleTokenizer:
+    return SimpleTokenizer(context_length=context_length)

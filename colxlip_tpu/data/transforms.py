@@ -1,0 +1,166 @@
+"""Image preprocessing: host-side PIL/numpy pipeline.
+
+Native replacement for the imported ``open_clip.transform.image_transform_v2``
+(SURVEY.md §2.2; reference call site factory.py:409-419):
+  train: RandomResizedCrop(size, scale=(0.9, 1.0), bicubic) -> RGB -> float
+         -> normalize(OPENAI mean/std)
+  eval : Resize(size, bicubic) -> CenterCrop(size) -> RGB -> float -> normalize
+
+Output layout is NHWC float32 (TPU-preferred; the vision tower patchifies with
+reshape+matmul so channels-last avoids any device-side transpose).
+"""
+from __future__ import annotations
+
+import dataclasses
+import random
+from typing import Optional, Tuple, Union
+
+import numpy as np
+from PIL import Image
+
+OPENAI_DATASET_MEAN = (0.48145466, 0.4578275, 0.40821073)
+OPENAI_DATASET_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+@dataclasses.dataclass
+class PreprocessCfg:
+    """Counterpart of open_clip PreprocessCfg (consumed by factory/transforms)."""
+    size: Union[int, Tuple[int, int]] = 224
+    mode: str = "RGB"
+    mean: Tuple[float, ...] = OPENAI_DATASET_MEAN
+    std: Tuple[float, ...] = OPENAI_DATASET_STD
+    interpolation: str = "bicubic"
+    resize_mode: str = "shortest"
+    fill_color: int = 0
+
+    @property
+    def size_hw(self) -> Tuple[int, int]:
+        s = self.size
+        return (s, s) if isinstance(s, int) else tuple(s)
+
+
+@dataclasses.dataclass
+class AugmentationCfg:
+    """Subset of open_clip AugmentationCfg that the reference recipe reads."""
+    scale: Tuple[float, float] = (0.9, 1.0)
+    ratio: Tuple[float, float] = (3 / 4, 4 / 3)
+
+
+_PIL_INTERP = {
+    "bicubic": Image.BICUBIC,
+    "bilinear": Image.BILINEAR,
+    "nearest": Image.NEAREST,
+    "lanczos": Image.LANCZOS,
+}
+
+
+def _to_rgb(img: Image.Image) -> Image.Image:
+    return img.convert("RGB") if img.mode != "RGB" else img
+
+
+def _normalize(arr: np.ndarray, mean, std) -> np.ndarray:
+    arr = arr.astype(np.float32) / 255.0
+    return (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+def random_resized_crop(
+    img: Image.Image,
+    size: Tuple[int, int],
+    scale=(0.9, 1.0),
+    ratio=(3 / 4, 4 / 3),
+    interpolation=Image.BICUBIC,
+    rng: Optional[random.Random] = None,
+) -> Image.Image:
+    """torchvision RandomResizedCrop semantics (10 tries then center fallback)."""
+    rng = rng or random
+    w, h = img.size
+    area = w * h
+    log_ratio = (np.log(ratio[0]), np.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * rng.uniform(scale[0], scale[1])
+        aspect = float(np.exp(rng.uniform(log_ratio[0], log_ratio[1])))
+        cw = int(round(np.sqrt(target_area * aspect)))
+        ch = int(round(np.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            x = rng.randint(0, w - cw)
+            y = rng.randint(0, h - ch)
+            return img.resize(size[::-1], interpolation, box=(x, y, x + cw, y + ch))
+    # fallback: center crop to in-range aspect
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        cw, ch = w, int(round(w / ratio[0]))
+    elif in_ratio > ratio[1]:
+        cw, ch = int(round(h * ratio[1])), h
+    else:
+        cw, ch = w, h
+    x, y = (w - cw) // 2, (h - ch) // 2
+    return img.resize(size[::-1], interpolation, box=(x, y, x + cw, y + ch))
+
+
+def resize_shortest(img: Image.Image, size: int, interpolation=Image.BICUBIC) -> Image.Image:
+    w, h = img.size
+    short = min(w, h)
+    if short == size:
+        return img
+    scale = size / short
+    return img.resize((max(1, int(round(w * scale))), max(1, int(round(h * scale)))), interpolation)
+
+
+def center_crop(img: Image.Image, size: Tuple[int, int]) -> Image.Image:
+    th, tw = size
+    w, h = img.size
+    x = int(round((w - tw) / 2.0))
+    y = int(round((h - th) / 2.0))
+    if x < 0 or y < 0:  # pad if image smaller than crop
+        canvas = Image.new(img.mode, (max(w, tw), max(h, th)), 0)
+        canvas.paste(img, ((max(w, tw) - w) // 2, (max(h, th) - h) // 2))
+        img = canvas
+        w, h = img.size
+        x = int(round((w - tw) / 2.0))
+        y = int(round((h - th) / 2.0))
+    return img.crop((x, y, x + tw, y + th))
+
+
+class ImageTransform:
+    """Callable image -> float32 NHWC array [H, W, 3]."""
+
+    def __init__(
+        self,
+        cfg: PreprocessCfg,
+        is_train: bool,
+        aug: Optional[AugmentationCfg] = None,
+        seed: Optional[int] = None,
+    ):
+        self.cfg = cfg
+        self.is_train = is_train
+        self.aug = aug or AugmentationCfg()
+        self.interp = _PIL_INTERP[cfg.interpolation]
+        self.rng = random.Random(seed) if seed is not None else random
+
+    def __call__(self, img: Image.Image) -> np.ndarray:
+        img = _to_rgb(img)
+        hw = self.cfg.size_hw
+        if self.is_train:
+            img = random_resized_crop(
+                img, hw, scale=self.aug.scale, ratio=self.aug.ratio,
+                interpolation=self.interp, rng=self.rng if self.rng is not random else None,
+            )
+        else:
+            img = resize_shortest(img, min(hw), self.interp)
+            img = center_crop(img, hw)
+        return _normalize(np.asarray(img), self.cfg.mean, self.cfg.std)
+
+
+def image_transform(
+    image_size: Union[int, Tuple[int, int]],
+    is_train: bool,
+    mean=OPENAI_DATASET_MEAN,
+    std=OPENAI_DATASET_STD,
+    interpolation: str = "bicubic",
+    aug_cfg: Optional[AugmentationCfg] = None,
+    seed: Optional[int] = None,
+) -> ImageTransform:
+    """Build a train or eval transform (factory.py:409-419 counterpart)."""
+    cfg = PreprocessCfg(size=image_size, mean=tuple(mean), std=tuple(std),
+                        interpolation=interpolation)
+    return ImageTransform(cfg, is_train, aug=aug_cfg, seed=seed)

@@ -1,0 +1,423 @@
+"""Native WebDataset-style tar-shard input pipeline.
+
+TPU-native replacement for the reference's webdataset stack (SURVEY.md §2.1 C7,
+reference src/colxlip/data.py:237-361 + the imported open_clip_train.data
+helpers, §2.2). Implemented from scratch (the ``webdataset`` package is not a
+dependency):
+
+  - ``braceexpand``            : shard patterns like ``shards-{0000..0999}.tar``
+  - ``expand_urls``            : '::'-joined multi-source specs with per-source
+                                 weights (data.py:81-100)
+  - ``ResampledShards``        : sample shards with replacement, weighted,
+                                 seeded per (seed, epoch, worker) —
+                                 data.py:629-680 semantics
+  - ``deterministic_shards``   : detshuffle2-equivalent epoch-seeded shuffle +
+                                 split_by_node + split_by_worker (data.py:276-285)
+  - ``iter_tar_samples``       : tar -> {ext: bytes} grouped by basename, with
+                                 log-and-continue error tolerance
+                                 (tarfile_to_samples_nothrow + log_and_continue,
+                                 data.py:286-304)
+  - ``ShuffleBuffer``          : bounded reservoir sample shuffle (buffer 5000,
+                                 data.py:289-293)
+  - ``WdsTrainPipeline``       : decode -> transform -> caption-sample ->
+                                 tokenize -> batch, with the equal-batches
+                                 rounding of data.py:317-330, running shard
+                                 processing on a thread pool (PIL JPEG decode
+                                 releases the GIL).
+"""
+from __future__ import annotations
+
+import io
+import itertools
+import json
+import logging
+import os
+import queue
+import random
+import re
+import tarfile
+import threading
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .captions import sample_and_tokenize
+
+logger = logging.getLogger(__name__)
+
+IMAGE_EXTS = ("jpg", "jpeg", "png", "webp")
+
+
+# ---------------------------------------------------------------------------
+# shard list expansion
+# ---------------------------------------------------------------------------
+
+_BRACE_RE = re.compile(r"\{(\d+)\.\.(\d+)\}")
+
+
+def braceexpand(pattern: str) -> List[str]:
+    """Expand the numeric ``{0000..0999}`` ranges used by shard specs."""
+    m = _BRACE_RE.search(pattern)
+    if not m:
+        return [pattern]
+    lo, hi = m.group(1), m.group(2)
+    width = len(lo)
+    out = []
+    for i in range(int(lo), int(hi) + 1):
+        head = pattern[: m.start()] + str(i).zfill(width) + pattern[m.end():]
+        out.extend(braceexpand(head))
+    return out
+
+
+def expand_urls(
+    urls, weights: Optional[str] = None
+) -> Tuple[List[str], Optional[List[float]]]:
+    """'::'-joined multi-source expansion with weights (data.py:81-100)."""
+    if isinstance(urls, str):
+        url_list = urls.split("::")
+        if weights is None:
+            all_urls: List[str] = []
+            for u in url_list:
+                all_urls.extend(braceexpand(u))
+            return all_urls, None
+        weight_list = [float(w) for w in str(weights).split("::")]
+        if len(weight_list) != len(url_list):
+            raise ValueError(
+                f"Expected {len(url_list)} weights to match sources, got {len(weight_list)}"
+            )
+        all_urls, all_weights = [], []
+        for u, w in zip(url_list, weight_list):
+            expanded = braceexpand(u)
+            all_urls.extend(expanded)
+            all_weights.extend([w] * len(expanded))
+        return all_urls, all_weights
+    return list(urls), list(weights) if weights is not None else None
+
+
+# ---------------------------------------------------------------------------
+# shard selection
+# ---------------------------------------------------------------------------
+
+class SharedEpoch:
+    """Mutable epoch holder shared with loader threads (data.py:71-78 analog)."""
+
+    def __init__(self, epoch: int = 0):
+        self._value = epoch
+        self._lock = threading.Lock()
+
+    def set_value(self, epoch: int) -> None:
+        with self._lock:
+            self._value = epoch
+
+    def get_value(self) -> int:
+        with self._lock:
+            return self._value
+
+
+def resampled_shards(
+    urls: Sequence[str],
+    weights: Optional[Sequence[float]],
+    *,
+    seed: int,
+    epoch: int,
+    worker_id: int = 0,
+    num_shards: Optional[int] = None,
+) -> Iterator[str]:
+    """Infinite weighted sampling with replacement (data.py:629-680)."""
+    rng = random.Random((seed, epoch, worker_id).__hash__())
+    urls = list(urls)
+    w = list(weights) if weights is not None else None
+    count = 0
+    while num_shards is None or count < num_shards:
+        if w is None:
+            yield rng.choice(urls)
+        else:
+            yield rng.choices(urls, weights=w, k=1)[0]
+        count += 1
+
+
+def deterministic_shards(
+    urls: Sequence[str],
+    *,
+    seed: int,
+    epoch: int,
+    rank: int = 0,
+    world_size: int = 1,
+    worker_id: int = 0,
+    num_workers: int = 1,
+) -> List[str]:
+    """Epoch-seeded shuffle then node/worker split (detshuffle2 + split_by_node
+    + split_by_worker, data.py:276-285)."""
+    urls = list(urls)
+    rng = random.Random(seed + epoch)
+    rng.shuffle(urls)
+    urls = urls[rank::world_size]
+    return urls[worker_id::num_workers]
+
+
+# ---------------------------------------------------------------------------
+# tar streaming
+# ---------------------------------------------------------------------------
+
+def log_and_continue(exn: Exception) -> bool:
+    """data.py:126-129: warn and keep going on data-plane errors."""
+    logger.warning("Handling dataset error (%r). Ignoring.", exn)
+    return True
+
+
+def iter_tar_samples(
+    path: str, handler: Callable[[Exception], bool] = log_and_continue
+) -> Iterator[Dict[str, bytes]]:
+    """Group tar members by basename into {'__key__', ext: bytes} samples."""
+    try:
+        stream = tarfile.open(path, mode="r|*")
+    except Exception as exn:  # unreadable shard
+        if handler(exn):
+            return
+        raise
+    current_key: Optional[str] = None
+    sample: Dict[str, bytes] = {}
+    try:
+        for member in stream:
+            if not member.isfile():
+                continue
+            name = member.name
+            base, _, ext = name.rpartition(".")
+            if not base:
+                base, ext = name, ""
+            try:
+                data = stream.extractfile(member).read()
+            except Exception as exn:
+                if handler(exn):
+                    continue
+                raise
+            if base != current_key:
+                if current_key is not None and sample:
+                    yield sample
+                current_key = base
+                sample = {"__key__": base.encode()}
+            sample[ext.lower()] = data
+        if current_key is not None and sample:
+            yield sample
+    except Exception as exn:  # corrupt tar mid-stream
+        if not handler(exn):
+            raise
+    finally:
+        stream.close()
+
+
+def has_image_and_json(sample: Dict[str, bytes]) -> bool:
+    """data.py:120-123 filter."""
+    return "json" in sample and any(ext in sample for ext in IMAGE_EXTS)
+
+
+def has_image_and_txt(sample: Dict[str, bytes]) -> bool:
+    """data.py:113-117 filter (plain txt-caption shards)."""
+    return "txt" in sample and any(ext in sample for ext in IMAGE_EXTS)
+
+
+def decode_image(sample: Dict[str, bytes]):
+    from PIL import Image
+
+    for ext in IMAGE_EXTS:
+        if ext in sample:
+            img = Image.open(io.BytesIO(sample[ext]))
+            img.load()
+            return img.convert("RGB")
+    raise KeyError("no image in sample")
+
+
+class ShuffleBuffer:
+    """Bounded streaming shuffle (webdataset shuffle(bufsize, initial))."""
+
+    def __init__(self, source: Iterator, bufsize: int = 5000, initial: int = 1000,
+                 rng: Optional[random.Random] = None):
+        self.source = source
+        self.bufsize = bufsize
+        self.initial = min(initial, bufsize)
+        self.rng = rng or random.Random()
+
+    def __iter__(self):
+        buf: List = []
+        source = iter(self.source)
+        for item in source:
+            buf.append(item)
+            if len(buf) < self.initial:
+                continue
+            if len(buf) >= self.bufsize:
+                idx = self.rng.randrange(len(buf))
+                buf[idx], item = item, buf[idx]
+                yield item
+        self.rng.shuffle(buf)
+        yield from buf
+
+
+# ---------------------------------------------------------------------------
+# full train pipeline
+# ---------------------------------------------------------------------------
+
+@dataclass
+class WdsConfig:
+    urls: str
+    weights: Optional[str] = None
+    batch_size: int = 64
+    num_samples: Optional[int] = None       # --train-num-samples
+    resampled: bool = False                 # --dataset-resampled
+    seed: int = 0
+    num_workers: int = 4
+    shuffle_buffer: int = 5000
+    shuffle_initial: int = 1000
+    num_sampled_captions: int = 1
+    max_merged_num: int = 3
+    pixelprose: bool = False
+    caption_key: str = "json"               # 'json' diverse captions | 'txt'
+    rank: int = 0
+    world_size: int = 1
+
+
+def _round_num_batches(num_samples: int, batch_size: int, world_size: int,
+                       num_workers: int) -> int:
+    """Equal-batches-per-worker rounding (data.py:317-330)."""
+    global_batch = batch_size * world_size
+    num_batches = num_samples // global_batch
+    num_workers = max(1, num_workers)
+    num_batches = (num_batches // num_workers) * num_workers
+    return max(num_batches, num_workers)
+
+
+class WdsTrainPipeline:
+    """Streaming (images, texts) batch iterator over tar shards.
+
+    Each loader thread owns a disjoint worker_id and processes whole shards;
+    decoded samples flow through a bounded queue into the batcher. Epoch
+    changes take effect at iterator (re)construction via SharedEpoch, like the
+    reference's worker-shared epoch bump (data.py:74-78).
+    """
+
+    def __init__(self, cfg: WdsConfig, transform, tokenizer,
+                 shared_epoch: Optional[SharedEpoch] = None):
+        self.cfg = cfg
+        self.transform = transform
+        self.tokenizer = tokenizer
+        self.shared_epoch = shared_epoch or SharedEpoch(0)
+        self.urls, self.url_weights = expand_urls(cfg.urls, cfg.weights)
+        if not self.urls:
+            raise ValueError(f"no shards matched: {cfg.urls}")
+        if cfg.num_samples is not None:
+            self.num_batches = _round_num_batches(
+                cfg.num_samples, cfg.batch_size, cfg.world_size, cfg.num_workers
+            )
+        else:
+            self.num_batches = None
+
+    def set_epoch(self, epoch: int) -> None:
+        self.shared_epoch.set_value(epoch)
+
+    # -- worker side ---------------------------------------------------------
+
+    def _worker_shards(self, worker_id: int, epoch: int) -> Iterator[str]:
+        cfg = self.cfg
+        if cfg.resampled:
+            return resampled_shards(
+                self.urls, self.url_weights, seed=cfg.seed, epoch=epoch,
+                worker_id=cfg.rank * cfg.num_workers + worker_id,
+            )
+        return iter(deterministic_shards(
+            self.urls, seed=cfg.seed, epoch=epoch,
+            rank=cfg.rank, world_size=cfg.world_size,
+            worker_id=worker_id, num_workers=cfg.num_workers,
+        ))
+
+    def _process_sample(self, sample: Dict[str, bytes], rng: random.Random):
+        cfg = self.cfg
+        img = decode_image(sample)
+        img_arr = self.transform(img)
+        if cfg.caption_key == "json":
+            meta = json.loads(sample["json"])
+            texts = sample_and_tokenize(
+                meta, self.tokenizer, k=cfg.num_sampled_captions,
+                max_merged_num=cfg.max_merged_num, pixelprose=cfg.pixelprose,
+                rng=rng,
+            )
+        else:
+            caption = sample["txt"].decode("utf-8", errors="replace")
+            texts = self.tokenizer([caption] * cfg.num_sampled_captions)
+        return img_arr, texts
+
+    def _worker_loop(self, worker_id: int, epoch: int, out_q: "queue.Queue",
+                     stop: threading.Event) -> None:
+        cfg = self.cfg
+        rng = random.Random((cfg.seed, epoch, cfg.rank, worker_id).__hash__())
+        filt = has_image_and_json if cfg.caption_key == "json" else has_image_and_txt
+        try:
+            shards = self._worker_shards(worker_id, epoch)
+            samples = itertools.chain.from_iterable(
+                iter_tar_samples(s) for s in shards
+            )
+            samples = (s for s in samples if filt(s))
+            if cfg.shuffle_buffer > 1:
+                samples = iter(ShuffleBuffer(
+                    samples, cfg.shuffle_buffer // max(1, cfg.num_workers),
+                    cfg.shuffle_initial // max(1, cfg.num_workers), rng,
+                ))
+            for s in samples:
+                if stop.is_set():
+                    return
+                try:
+                    item = self._process_sample(s, rng)
+                except Exception as exn:
+                    log_and_continue(exn)
+                    continue
+                while not stop.is_set():
+                    try:
+                        out_q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except Exception as exn:
+            log_and_continue(exn)
+        finally:
+            out_q.put(None)  # worker-done sentinel
+
+    # -- consumer side -------------------------------------------------------
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        cfg = self.cfg
+        epoch = self.shared_epoch.get_value()
+        num_workers = max(1, cfg.num_workers)
+        out_q: "queue.Queue" = queue.Queue(maxsize=4 * cfg.batch_size)
+        stop = threading.Event()
+        threads = [
+            threading.Thread(
+                target=self._worker_loop, args=(w, epoch, out_q, stop), daemon=True
+            )
+            for w in range(num_workers)
+        ]
+        for t in threads:
+            t.start()
+
+        produced_batches = 0
+        done_workers = 0
+        imgs: List[np.ndarray] = []
+        txts: List[np.ndarray] = []
+        try:
+            while done_workers < num_workers:
+                item = out_q.get()
+                if item is None:
+                    done_workers += 1
+                    continue
+                imgs.append(item[0])
+                txts.append(item[1])
+                if len(imgs) == cfg.batch_size:
+                    yield np.stack(imgs), np.stack(txts)
+                    imgs, txts = [], []
+                    produced_batches += 1
+                    if self.num_batches is not None and produced_batches >= self.num_batches:
+                        return
+            # deterministic mode: drop the final partial batch (reference
+            # drops partials via wds batched(partial=False))
+        finally:
+            stop.set()
+            for t in threads:
+                t.join(timeout=2.0)

@@ -1,0 +1,209 @@
+"""Loss functions vs numpy oracles, single-device and on an 8-device CPU mesh."""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from colxlip_tpu.losses import (
+    clip_loss,
+    coca_loss,
+    colclip_loss,
+    distill_clip_loss,
+    siglip_loss,
+)
+
+from oracles import (
+    np_clip_loss,
+    np_colclip_loss,
+    np_l2norm,
+    np_siglip_loss,
+)
+
+WORLD = 8
+
+
+def _mesh():
+    return Mesh(np.array(jax.devices()[:WORLD]), ("data",))
+
+
+def _pooled(rng, n=16, d=32):
+    i = np_l2norm(rng.standard_normal((n, d)).astype(np.float32))
+    t = np_l2norm(rng.standard_normal((n, d)).astype(np.float32))
+    return jnp.asarray(i), jnp.asarray(t)
+
+
+def _tokens(rng, n=16, lt=7, li=5, d=32):
+    tt = np_l2norm(rng.standard_normal((n, lt, d)).astype(np.float32))
+    ti = np_l2norm(rng.standard_normal((n, li, d)).astype(np.float32))
+    return jnp.asarray(ti), jnp.asarray(tt)
+
+
+def test_clip_loss_single_device_matches_oracle(rng):
+    i, t = _pooled(rng)
+    scale = 50.0
+    got = float(clip_loss(i, t, scale))
+    want = np_clip_loss(np.asarray(i), np.asarray(t), scale)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_colclip_loss_single_device_matches_oracle(rng):
+    i, t = _pooled(rng)
+    ti, tt = _tokens(rng)
+    scale, alpha = 30.0, 0.7
+    out = colclip_loss(i, t, ti, tt, scale, alpha=alpha, maxsim_impl="xla")
+    want_total, want_g, want_tok = np_colclip_loss(
+        np.asarray(i), np.asarray(t), np.asarray(ti), np.asarray(tt), scale, alpha
+    )
+    np.testing.assert_allclose(float(out["total_loss"]), want_total, rtol=1e-5)
+    np.testing.assert_allclose(float(out["global_contrastive_loss"]), want_g, rtol=1e-5)
+    np.testing.assert_allclose(float(out["token_contrastive_loss"]), want_tok, rtol=1e-5)
+
+
+def test_siglip_loss_single_device_matches_oracle(rng):
+    i, t = _pooled(rng)
+    scale, bias = 10.0, -2.0
+    got = float(siglip_loss(i, t, scale, bias))
+    want = np_siglip_loss(np.asarray(i), np.asarray(t), scale, bias)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_coca_loss_runs(rng):
+    i, t = _pooled(rng, n=8)
+    v, l = 50, 6
+    logits = jnp.asarray(rng.standard_normal((8, l, v)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, v, (8, l)).astype(np.int32))
+    out = coca_loss(i, t, logits, labels, 20.0, output_dict=True)
+    assert np.isfinite(float(out["contrastive_loss"]))
+    assert np.isfinite(float(out["caption_loss"]))
+
+
+def test_distill_loss_runs(rng):
+    i, t = _pooled(rng, n=8)
+    di, dt = _pooled(rng, n=8)
+    c, d = distill_clip_loss(i, t, 20.0, di, dt, 20.0)
+    assert np.isfinite(float(c)) and np.isfinite(float(d))
+
+
+# ---------------------------------------------------------------------------
+# Distributed (8-device CPU mesh) — value parity with the single-device path.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("local_loss", [False, True])
+@pytest.mark.parametrize("gather_with_grad", [False, True])
+def test_clip_loss_distributed_matches_full_batch(rng, local_loss, gather_with_grad):
+    i, t = _pooled(rng, n=WORLD * 4)
+    mesh = _mesh()
+    scale = jnp.float32(40.0)
+    per_dev = jax.jit(
+        lambda a, b, s: shard_map(
+            lambda a_, b_, s_: jax.lax.pmean(
+                clip_loss(
+                    a_, b_, s_, axis_name="data",
+                    local_loss=local_loss, gather_with_grad=gather_with_grad,
+                ),
+                "data",
+            ),
+            mesh=mesh,
+            in_specs=(P("data"), P("data"), P()),
+            out_specs=P(),
+        )(a, b, s)
+    )(i, t, scale)
+    want = np_clip_loss(np.asarray(i), np.asarray(t), 40.0)
+    np.testing.assert_allclose(float(per_dev), want, rtol=1e-5)
+
+
+@pytest.mark.parametrize("local_loss", [False, True])
+def test_colclip_loss_distributed_matches_full_batch(rng, local_loss):
+    n = WORLD * 2
+    i, t = _pooled(rng, n=n)
+    ti, tt = _tokens(rng, n=n)
+    mesh = _mesh()
+    alpha = 0.6
+
+    def per_device(i_, t_, ti_, tt_, s_):
+        out = colclip_loss(
+            i_, t_, ti_, tt_, s_, alpha=alpha, axis_name="data",
+            local_loss=local_loss, gather_with_grad=True, maxsim_impl="xla",
+        )
+        return jax.lax.pmean(out["total_loss"], "data")
+
+    got = jax.jit(
+        shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P("data"), P()),
+            out_specs=P(),
+        )
+    )(i, t, ti, tt, jnp.float32(30.0))
+    want, _, _ = np_colclip_loss(
+        np.asarray(i), np.asarray(t), np.asarray(ti), np.asarray(tt), 30.0, alpha
+    )
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+@pytest.mark.parametrize("dist_impl", ["bidir", "shift", "reduce", "gather"])
+def test_siglip_distributed_all_impls_match(rng, dist_impl):
+    """All four negative-exchange strategies must equal the full-batch loss sum.
+
+    The full SigLIP loss over the global batch equals the sum over devices of
+    (local positives + all cross-device negative blocks); per-device values
+    differ but the psum matches the dense computation (loss.py:521-602).
+    """
+    n = WORLD * 2
+    i, t = _pooled(rng, n=n)
+    mesh = _mesh()
+    scale, bias = jnp.float32(10.0), jnp.float32(-2.0)
+
+    def per_device(i_, t_, s_, b_):
+        loss = siglip_loss(
+            i_, t_, s_, b_, axis_name="data", axis_size=WORLD, dist_impl=dist_impl
+        )
+        return jax.lax.psum(loss, "data")
+
+    got = jax.jit(
+        shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P("data"), P("data"), P(), P()),
+            out_specs=P(),
+        )
+    )(i, t, scale, bias)
+
+    # dense oracle over the global batch: sum of per-block sigmoid losses,
+    # normalized by the LOCAL batch size (b = n / WORLD) as the reference does
+    inp, tnp = np.asarray(i), np.asarray(t)
+    b = n // WORLD
+    total = 0.0
+    for r in range(WORLD):
+        ib = inp[r * b:(r + 1) * b]
+        for s in range(WORLD):
+            tb = tnp[s * b:(s + 1) * b]
+            logits = 10.0 * ib @ tb.T - 2.0
+            labels = (2 * np.eye(b) - 1) if r == s else -np.ones((b, b))
+            total += float(np.log1p(np.exp(-labels * logits)).sum() / b)
+    np.testing.assert_allclose(float(got), total, rtol=1e-4)
+
+
+def test_clip_loss_gradients_distributed_match_full_batch(rng):
+    """gather_with_grad distributed grads == single-device full-batch grads."""
+    n = WORLD * 2
+    i, t = _pooled(rng, n=n)
+    mesh = _mesh()
+    scale = jnp.float32(25.0)
+
+    def dist_loss(i_, t_):
+        def per_device(a, b):
+            return jax.lax.pmean(
+                clip_loss(a, b, scale, axis_name="data", gather_with_grad=True), "data"
+            )
+        return shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P("data"), P("data")), out_specs=P(),
+        )(i_, t_)
+
+    g_dist = jax.grad(dist_loss, argnums=(0, 1))(i, t)
+    g_full = jax.grad(lambda a, b: clip_loss(a, b, scale), argnums=(0, 1))(i, t)
+    np.testing.assert_allclose(np.asarray(g_dist[0]), np.asarray(g_full[0]), rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_dist[1]), np.asarray(g_full[1]), rtol=1e-4, atol=1e-7)

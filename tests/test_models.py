@@ -1,0 +1,138 @@
+"""Model tower shape/behavior tests (tiny config; CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from colxlip_tpu.models import (
+    CLIP,
+    CLIPCfg,
+    ColXLIP,
+    get_model_config,
+    list_models,
+)
+
+from oracles import np_eot_mask_tokens
+
+EOT = 49407
+SOT = 49406
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return CLIPCfg.from_dict(get_model_config("ViT-S-16-test"))
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tiny_cfg):
+    model = ColXLIP(tiny_cfg, dtype=jnp.float32)
+    img = jnp.zeros((2, 64, 64, 3))
+    txt = _text_batch(np.random.default_rng(1), 2, 32)
+    params = model.init(jax.random.PRNGKey(0), img, txt)
+    return model, params
+
+
+def _text_batch(rng, b, n):
+    ids = rng.integers(1, 1000, (b, n))
+    lengths = rng.integers(3, n - 1, b)
+    for r in range(b):
+        ids[r, 0] = SOT
+        ids[r, lengths[r]] = EOT
+        ids[r, lengths[r] + 1:] = 0
+    return jnp.asarray(ids.astype(np.int32))
+
+
+def test_registry_contains_standard_configs():
+    models = list_models()
+    for name in ("ViT-B-16", "ViT-B-32", "ViT-B-16-colxlip", "ViT-B-32-colxlip"):
+        assert name in models
+
+
+def test_colxlip_forward_shapes(tiny_model, tiny_cfg):
+    model, params = tiny_model
+    img = jnp.ones((3, 64, 64, 3)) * 0.1
+    txt = _text_batch(np.random.default_rng(2), 3, 32)
+    out = model.apply(params, img, txt)
+    d = tiny_cfg.embed_dim
+    assert out["image_features"].shape == (3, d)
+    assert out["text_features"].shape == (3, d)
+    assert out["token_image_features"].shape == (3, 16, d)  # (64/16)^2 patches
+    assert out["token_text_features"].shape == (3, 32, d)
+    assert out["logit_scale"].shape == ()
+    np.testing.assert_allclose(
+        float(out["logit_scale"]), np.exp(np.log(1 / 0.07)), rtol=1e-5
+    )
+
+
+def test_features_are_normalized(tiny_model):
+    model, params = tiny_model
+    img = jnp.ones((2, 64, 64, 3)) * 0.3
+    txt = _text_batch(np.random.default_rng(3), 2, 32)
+    out = model.apply(params, img, txt)
+    for key in ("image_features", "text_features"):
+        norms = np.linalg.norm(np.asarray(out[key]), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-4)
+    tok_norms = np.linalg.norm(np.asarray(out["token_image_features"]), axis=-1)
+    np.testing.assert_allclose(tok_norms, 1.0, rtol=1e-4)
+
+
+def test_text_pooling_uses_eot_position(tiny_model):
+    """Changing tokens after EOT must not change pooled text features
+    (causal attention + argmax pooling), reference transformer.py:849-851."""
+    model, params = tiny_model
+    rng = np.random.default_rng(4)
+    txt = _text_batch(rng, 2, 32)
+    out1 = model.apply(params, text=txt)
+    txt2 = np.asarray(txt).copy()
+    eot_pos = txt2.argmax(axis=-1)
+    for r in range(2):
+        if eot_pos[r] + 2 < 32:
+            txt2[r, eot_pos[r] + 2] = 777  # after EOT, should be invisible
+    out2 = model.apply(params, text=jnp.asarray(txt2))
+    np.testing.assert_allclose(
+        np.asarray(out1["text_features"]), np.asarray(out2["text_features"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_eot_masking_zeroes_before_projection(tiny_model, tiny_cfg):
+    """Token features at/after EOT must be the projection of the zero vector:
+    identical constant embedding across positions and batch (model.py:581-593)."""
+    model, params = tiny_model
+    txt = _text_batch(np.random.default_rng(5), 2, 32)
+    out = model.apply(params, text=txt)
+    toks = np.asarray(out["token_text_features"])
+    eot_pos = np.asarray(txt).argmax(axis=-1)
+    # All masked positions share one constant vector
+    ref_vec = toks[0, eot_pos[0]]
+    for r in range(2):
+        for p in range(eot_pos[r], 32):
+            np.testing.assert_allclose(toks[r, p], ref_vec, rtol=1e-4, atol=1e-5)
+    # Unmasked positions differ from it
+    assert not np.allclose(toks[0, 1], ref_vec, atol=1e-3)
+
+
+def test_plain_clip_model(tiny_cfg):
+    model = CLIP(tiny_cfg, dtype=jnp.float32)
+    img = jnp.ones((2, 64, 64, 3)) * 0.2
+    txt = _text_batch(np.random.default_rng(6), 2, 32)
+    params = model.init(jax.random.PRNGKey(0), img, txt)
+    out = model.apply(params, img, txt)
+    assert out["image_features"].shape == (2, tiny_cfg.embed_dim)
+    assert "token_image_features" not in out
+
+
+def test_bf16_compute_close_to_fp32(tiny_cfg):
+    model32 = ColXLIP(tiny_cfg, dtype=jnp.float32)
+    model16 = ColXLIP(tiny_cfg, dtype=jnp.bfloat16)
+    img = jnp.ones((2, 64, 64, 3)) * 0.15
+    txt = _text_batch(np.random.default_rng(7), 2, 32)
+    params = model32.init(jax.random.PRNGKey(0), img, txt)
+    o32 = model32.apply(params, img, txt)
+    o16 = model16.apply(params, img, txt)
+    # bf16 activations: loose tolerance, but same ballpark
+    cos = np.sum(
+        np.asarray(o32["image_features"]) * np.asarray(o16["image_features"], np.float32),
+        axis=-1,
+    )
+    assert np.all(cos > 0.99)

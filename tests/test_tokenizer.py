@@ -1,0 +1,77 @@
+"""Tokenizer tests (offline byte-fallback mode; exact-BPE path gated on asset)."""
+import numpy as np
+import pytest
+
+from colxlip_tpu.data.tokenizer import (
+    CONTEXT_LENGTH,
+    EOT_TOKEN,
+    SOT_TOKEN,
+    VOCAB_SIZE,
+    SimpleTokenizer,
+    bytes_to_unicode,
+)
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return SimpleTokenizer()
+
+
+def test_bytes_to_unicode_reversible():
+    m = bytes_to_unicode()
+    assert len(m) == 256
+    assert len(set(m.values())) == 256
+
+
+def test_shapes_and_specials(tok):
+    out = tok(["a photo of a cat", "hello world"])
+    assert out.shape == (2, CONTEXT_LENGTH)
+    assert out.dtype == np.int32
+    assert (out[:, 0] == SOT_TOKEN).all()
+    for row in out:
+        assert EOT_TOKEN in row
+        eot_pos = int(np.argmax(row))
+        assert row[eot_pos] == EOT_TOKEN  # argmax pooling contract
+        assert (row[eot_pos + 1:] == 0).all()
+
+
+def test_eot_is_argmax(tok):
+    """The text tower pools at argmax(ids); EOT must be the max id."""
+    out = tok("some words here")
+    assert out.max() == EOT_TOKEN
+
+
+def test_truncation_keeps_eot(tok):
+    long_text = "word " * 500
+    out = tok(long_text)
+    assert out.shape == (1, CONTEXT_LENGTH)
+    assert out[0, -1] == EOT_TOKEN
+
+
+def test_roundtrip_decode(tok):
+    text = "a photo of a cat"
+    ids = tok.encode(text)
+    assert tok.decode(ids).strip() == text
+
+
+def test_unicode_safe(tok):
+    out = tok(["café ☕ 猫"])
+    assert out.shape == (1, CONTEXT_LENGTH)
+    assert (out >= 0).all() and (out < VOCAB_SIZE).all()
+
+
+def test_empty_and_whitespace(tok):
+    out = tok(["", "   "])
+    assert (out[:, 0] == SOT_TOKEN).all()
+    assert (out[:, 1] == EOT_TOKEN).all()
+
+
+def test_deterministic(tok):
+    a = tok(["the same sentence twice"])
+    b = tok(["the same sentence twice"])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_ids_stay_within_vocab(tok):
+    out = tok(["Lots-of-punct!!! éèê, numbers 123 456"])
+    assert (out < VOCAB_SIZE).all()
