@@ -1,0 +1,79 @@
+"""Throughput benchmark: ViT-B/16 ColXLIP training step on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: images/sec/chip for the full bf16 training step (both towers forward
++ backward + AdamW update) with the global-batch CLIP InfoNCE loss over the
+local batch — the per-chip compute of the north-star 32k-global-batch run
+(BASELINE.md: target >= 3000 img/s/chip on v5e), minus cross-chip collectives
+(single-chip benchmark). ``--loss colclip`` additionally exercises the
+token-level MaxSim loss.
+"""
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="ViT-B-16-colxlip")
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--loss", default="clip", choices=["clip", "colclip", "siglip"])
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--baseline", type=float, default=3000.0)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from colxlip_tpu.models import ColXLIP, CLIPCfg, get_model_config
+    from colxlip_tpu.parallel.train_step import (
+        TrainStepConfig, init_train_state, make_train_step,
+    )
+    from colxlip_tpu.training.optim import create_optimizer
+    from colxlip_tpu.training.schedules import cosine_lr
+
+    cfg = CLIPCfg.from_dict(get_model_config(args.model))
+    model = ColXLIP(cfg, dtype=jnp.bfloat16, remat=args.remat)
+    tx = create_optimizer(cosine_lr(1e-3, 100, 10000), weight_decay=0.2)
+
+    b = args.batch_size
+    s = args.image_size
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((b, s, s, 3)).astype(np.float32))
+    texts_np = np.zeros((b, cfg.text_cfg.context_length), np.int32)
+    texts_np[:, 0] = 49406
+    texts_np[:, 1:20] = rng.integers(1, 49000, (b, 19))
+    texts_np[:, 20] = 49407
+    texts = jnp.asarray(texts_np)
+
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), images[:2], texts[:2])
+    step = make_train_step(
+        model, tx, TrainStepConfig(loss_type=args.loss), donate=False,
+    )
+
+    for _ in range(args.warmup):
+        state, metrics = step(state, images, texts)
+    jax.block_until_ready(metrics["total_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step(state, images, texts)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+
+    ips = args.steps * b / dt
+    print(json.dumps({
+        "metric": f"images/sec/chip ({args.model}, bf16 train step, {args.loss} loss, batch {b})",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / args.baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,220 @@
+"""The sharded training step: forward, loss with ICI collectives, grads, update.
+
+TPU-native redesign of the reference's hot loop (src/colxlip/train.py:93-270):
+the whole step runs inside ``shard_map`` over the data mesh axis — params
+replicated, batch sharded — so the loss's all-gather/ppermute collectives have
+an explicit axis while XLA still fuses the towers. Gradients are ``pmean``'d
+across the axis, which is exactly DDP's average-gradient semantics
+(main.py:264-271) but emitted as one fused reduce by XLA.
+
+Covered reference behaviors:
+  - loss dispatch clip/colclip/siglip (factory.py:424-461)
+  - gradient accumulation with cached-feature negative splicing
+    (train.py:139-185): accum_freq microbatches are first encoded under
+    stop_gradient, then each is re-encoded WITH gradients and spliced into
+    the cached full-accumulation feature bank before the loss
+  - logit_scale clamp to [0, ln(100)] after the update (train.py:211-212)
+  - per-step LR schedule via optax schedule injection (main.py:338-348)
+  - activation checkpointing comes from the model's ``remat`` flag
+    (main.py:250-251 analog)
+
+No GradScaler: bf16 on TPU needs no loss scaling (fp32 params/optimizer).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..losses import clip_loss, colclip_loss, siglip_loss
+from .mesh import DATA_AXIS
+
+MAX_LOGIT_SCALE = math.log(100.0)
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStepConfig:
+    loss_type: str = "colclip"            # 'clip' | 'colclip' | 'siglip'
+    alpha: float = 0.5
+    local_loss: bool = False
+    gather_with_grad: bool = False
+    accum_freq: int = 1
+    maxsim_impl: str = "auto"
+    mask_mode: str = "nonzero"
+    dist_impl: str = "bidir"              # siglip negative exchange
+    clamp_logit_scale: bool = True
+
+
+def compute_loss(out: Dict[str, jnp.ndarray], cfg: TrainStepConfig,
+                 axis_name: Optional[str]) -> Dict[str, jnp.ndarray]:
+    """Dispatch on loss type (reference factory.py:424-461 create_loss)."""
+    if cfg.loss_type == "colclip":
+        return colclip_loss(
+            out["image_features"], out["text_features"],
+            out["token_image_features"], out["token_text_features"],
+            out["logit_scale"], alpha=cfg.alpha, axis_name=axis_name,
+            local_loss=cfg.local_loss, gather_with_grad=cfg.gather_with_grad,
+            logit_bias=out.get("logit_bias"), maxsim_impl=cfg.maxsim_impl,
+            mask_mode=cfg.mask_mode, output_dict=True,
+        )
+    if cfg.loss_type == "clip":
+        total = clip_loss(
+            out["image_features"], out["text_features"], out["logit_scale"],
+            axis_name=axis_name, local_loss=cfg.local_loss,
+            gather_with_grad=cfg.gather_with_grad,
+            logit_bias=out.get("logit_bias"),
+        )
+        return {"total_loss": total}
+    if cfg.loss_type == "siglip":
+        total = siglip_loss(
+            out["image_features"], out["text_features"], out["logit_scale"],
+            out.get("logit_bias"), axis_name=axis_name, dist_impl=cfg.dist_impl,
+        )
+        return {"total_loss": total}
+    raise ValueError(f"unknown loss_type: {cfg.loss_type!r}")
+
+
+def _clamp_logit_scale(params):
+    def clamp(path, leaf):
+        names = [getattr(k, "key", str(k)) for k in path]
+        if names and names[-1] == "logit_scale":
+            return jnp.clip(leaf, 0.0, MAX_LOGIT_SCALE)
+        return leaf
+    return jax.tree_util.tree_map_with_path(clamp, params)
+
+
+def make_train_step(
+    model,
+    tx,
+    cfg: TrainStepConfig,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+):
+    """Build the jitted train step fn(state, images, texts) -> (state, metrics).
+
+    images: [B_local*world, H, W, 3] (global batch, sharded over 'data')
+    texts:  [B, ctx] int32 (caption 0 already selected, train.py:122)
+    """
+    axis_name = DATA_AXIS if mesh is not None else None
+
+    def loss_fn(params, images, texts):
+        out = model.apply(params, images, texts, train=True)
+        losses = compute_loss(out, cfg, axis_name)
+        return losses["total_loss"], (losses, out["logit_scale"])
+
+    def microbatched_loss_fn(params, images, texts):
+        """Grad accumulation with cached-negative splicing (train.py:139-185).
+
+        Pass 1: encode all accum_freq microbatches without gradients.
+        Pass 2: for each microbatch j, re-encode with gradients, splice into
+        the cached bank, compute the loss over the FULL accumulation, and sum
+        the per-microbatch grads (torch accumulates via repeated backward).
+        """
+        n = cfg.accum_freq
+        b = images.shape[0] // n
+        im = images.reshape(n, b, *images.shape[1:])
+        tx_ = texts.reshape(n, b, *texts.shape[1:])
+
+        def encode(mb):
+            out = model.apply(params, mb[0], mb[1], train=True)
+            return {k: v for k, v in out.items()
+                    if k.endswith("features")}, out["logit_scale"]
+
+        cached, logit_scale = jax.lax.map(
+            lambda mb: encode(mb), (im, tx_)
+        )
+        cached = jax.lax.stop_gradient(cached)
+        logit_scale = logit_scale[0]
+
+        def one_micro(j):
+            def inner(params):
+                out_j = model.apply(params, im[j], tx_[j], train=True)
+                spliced = {}
+                for k, bank in cached.items():
+                    live = out_j[k]
+                    full = jax.lax.dynamic_update_index_in_dim(bank, live, j, 0)
+                    spliced[k] = full.reshape(n * b, *bank.shape[2:])
+                spliced["logit_scale"] = out_j["logit_scale"]
+                if "logit_bias" in out_j:
+                    spliced["logit_bias"] = out_j["logit_bias"]
+                losses = compute_loss(spliced, cfg, axis_name)
+                return losses["total_loss"], losses
+            return jax.grad(inner, has_aux=True)(params)
+
+        def scan_body(carry, j):
+            g_acc = carry
+            g_j, losses_j = one_micro(j)
+            g_acc = jax.tree.map(jnp.add, g_acc, g_j)
+            return g_acc, losses_j
+
+        g0 = jax.tree.map(jnp.zeros_like, params)
+        grads, losses_all = jax.lax.scan(scan_body, g0, jnp.arange(n))
+        losses = jax.tree.map(lambda x: jnp.mean(x), losses_all)
+        return grads, losses, logit_scale
+
+    def per_device_step(state: TrainState, images, texts):
+        if cfg.accum_freq > 1:
+            grads, losses, logit_scale = microbatched_loss_fn(
+                state.params, images, texts
+            )
+        else:
+            (_, (losses, logit_scale)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, images, texts)
+
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            losses = jax.lax.pmean(losses, axis_name)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(
+            lambda p, u: p + u, state.params, updates
+        )
+        if cfg.clamp_logit_scale:
+            new_params = _clamp_logit_scale(new_params)
+        metrics = dict(losses)
+        metrics["logit_scale"] = logit_scale
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return TrainState(state.step + 1, new_params, new_opt_state), metrics
+
+    if mesh is None:
+        return jax.jit(per_device_step, donate_argnums=(0,) if donate else ())
+
+    state_spec = P()
+    sharded = shard_map(
+        per_device_step,
+        mesh=mesh,
+        in_specs=(state_spec, P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def optax_global_norm(grads) -> jnp.ndarray:
+    leaves = jax.tree.leaves(grads)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves))
+
+
+def init_train_state(model, tx, rng, example_images, example_texts) -> TrainState:
+    params = model.init(rng, example_images, example_texts)
+    opt_state = tx.init(params)
+    return TrainState(jnp.zeros((), jnp.int32), params, opt_state)
+
+
+def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place the state replicated over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), state)

@@ -1,0 +1,235 @@
+"""Retrieval evaluation harness + metrics.
+
+Counterpart of reference src/colxlip/train.py:273-654:
+  - ``compute_retrieval_metrics``: R@1/5/10 + mean/median rank, both
+    directions, numerically identical to train.py:457-508 (vectorized).
+  - ``retrieval_on_split``: encode all texts, encode all images (BATCHED —
+    the reference used batch_size=1 image loaders), score, compute metrics
+    (train.py:510-585).
+  - scoring modes:
+      'global' : logit_scale * I @ T.T        (train.py:588-614)
+      'maxsim' : token-level late-interaction MaxSim — the capability the
+                 reference describes but never wired up for eval (its
+                 ColXLIP eval path crashes, SURVEY.md §7.4); shares the
+                 MaxSim op with the training loss.
+      'mixed'  : alpha*global + (1-alpha)*maxsim (the commented-out
+                 combination in reference model.py:678-684)
+  - ``evaluate``: master-only orchestration over the 7 suites with
+    results.jsonl append (train.py:286-363).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.retrieval import RetrievalSuite
+from ..ops.maxsim import maxsim
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+def _ranks_of(sim: np.ndarray, targets: List[List[int]]) -> np.ndarray:
+    """rank of the best ground-truth column per row under descending sort."""
+    order = np.argsort(-sim, axis=1, kind="stable")
+    ranks = np.empty(sim.shape[0], dtype=np.int64)
+    inv = np.empty_like(order)
+    rows = np.arange(sim.shape[0])[:, None]
+    inv[rows, order] = np.arange(sim.shape[1])[None, :]
+    for i, tgts in enumerate(targets):
+        ranks[i] = min(inv[i, t] for t in tgts)
+    return ranks
+
+
+def compute_retrieval_metrics(
+    i2t_sim: np.ndarray,
+    txt2img: Dict[int, int],
+    img2txt: Dict[int, List[int]],
+) -> Dict[str, float]:
+    """R@K / mean / median ranks (reference train.py:457-508 semantics).
+
+    i2t_sim: [num_images, num_texts]; t2i is its transpose.
+    """
+    t2i_sim = i2t_sim.T
+    n_txt = t2i_sim.shape[0]
+    n_img = i2t_sim.shape[0]
+
+    t2i_targets = [[txt2img[i]] for i in range(n_txt)]
+    t2i_ranks = _ranks_of(t2i_sim, t2i_targets)
+    i2t_targets = [list(img2txt[i]) for i in range(n_img)]
+    i2t_ranks = _ranks_of(i2t_sim, i2t_targets)
+
+    def pack(prefix, ranks):
+        return {
+            f"{prefix}_R@1": float((ranks < 1).mean()),
+            f"{prefix}_R@5": float((ranks < 5).mean()),
+            f"{prefix}_R@10": float((ranks < 10).mean()),
+            f"{prefix}_mean_rank": float(ranks.mean() + 1),
+            f"{prefix}_median_rank": float(np.floor(np.median(ranks)) + 1),
+        }
+
+    return {**pack("text_to_image", t2i_ranks), **pack("image_to_text", i2t_ranks)}
+
+
+# ---------------------------------------------------------------------------
+# encoding
+# ---------------------------------------------------------------------------
+
+def _pad_batch(arr: np.ndarray, batch_size: int) -> Tuple[np.ndarray, int]:
+    n = arr.shape[0]
+    if n == batch_size:
+        return arr, n
+    pad = batch_size - n
+    return np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)]), n
+
+
+class Encoder:
+    """Jitted, fixed-batch-size encode functions for a model/params pair."""
+
+    def __init__(self, model, params, batch_size: int = 256, with_tokens: bool = True):
+        self.model = model
+        self.params = params
+        self.batch_size = batch_size
+        self.with_tokens = with_tokens
+
+        @jax.jit
+        def encode_text(params, texts):
+            return model.apply(
+                params, text=texts,
+                method=lambda m, text: m.encode_text(text, normalize=True),
+            )
+
+        @jax.jit
+        def encode_image(params, images):
+            return model.apply(
+                params, images,
+                method=lambda m, image: m.encode_image(image, normalize=True),
+            )
+
+        self._encode_text = encode_text
+        self._encode_image = encode_image
+
+    def _run(self, fn, batches: Iterable[np.ndarray]):
+        feats, toks = [], []
+        for batch in batches:
+            batch, n = _pad_batch(np.asarray(batch), self.batch_size)
+            out = fn(self.params, jnp.asarray(batch))
+            if isinstance(out, tuple):
+                pooled, tokens = out
+                feats.append(np.asarray(pooled[:n], np.float32))
+                if self.with_tokens:
+                    toks.append(np.asarray(tokens[:n], np.float32))
+            else:
+                feats.append(np.asarray(out[:n], np.float32))
+        features = np.concatenate(feats)
+        tokens = np.concatenate(toks) if toks else None
+        return features, tokens
+
+    def encode_texts(self, suite: RetrievalSuite):
+        return self._run(self._encode_text, suite.iter_text_batches(self.batch_size))
+
+    def encode_images(self, suite: RetrievalSuite):
+        return self._run(self._encode_image, suite.iter_image_batches(self.batch_size))
+
+
+# ---------------------------------------------------------------------------
+# scoring + per-suite eval
+# ---------------------------------------------------------------------------
+
+def score_similarity(
+    img_feats: np.ndarray,
+    txt_feats: np.ndarray,
+    img_tokens: Optional[np.ndarray],
+    txt_tokens: Optional[np.ndarray],
+    logit_scale: float,
+    scoring: str = "global",
+    alpha: float = 0.5,
+    maxsim_impl: str = "auto",
+    mask_mode: str = "nonzero",
+) -> np.ndarray:
+    """[num_images, num_texts] similarity under the selected scoring mode."""
+    if scoring in ("global", "mixed"):
+        global_sim = logit_scale * img_feats @ txt_feats.T
+        if scoring == "global":
+            return global_sim
+    if img_tokens is None or txt_tokens is None:
+        raise ValueError(f"scoring={scoring!r} needs token features")
+    s_t2i = np.asarray(maxsim(
+        jnp.asarray(txt_tokens), jnp.asarray(img_tokens),
+        mask_mode=mask_mode, impl=maxsim_impl,
+    ))  # [n_txt, n_img]
+    token_sim = logit_scale * s_t2i.T
+    if scoring == "maxsim":
+        return token_sim
+    return alpha * global_sim + (1 - alpha) * token_sim
+
+
+def retrieval_on_split(
+    model,
+    params,
+    suite: RetrievalSuite,
+    *,
+    batch_size: int = 256,
+    scoring: str = "global",
+    alpha: float = 0.5,
+    logit_scale: Optional[float] = None,
+    maxsim_impl: str = "auto",
+) -> Dict[str, float]:
+    """Encode suite, score, compute metrics (reference train.py:510-585)."""
+    with_tokens = scoring in ("maxsim", "mixed")
+    enc = Encoder(model, params, batch_size=batch_size, with_tokens=with_tokens)
+    txt_feats, txt_tokens = enc.encode_texts(suite)
+    img_feats, img_tokens = enc.encode_images(suite)
+    if logit_scale is None:
+        ls = params["params"]["logit_scale"]
+        logit_scale = float(np.exp(np.asarray(ls)))
+    sim = score_similarity(
+        img_feats, txt_feats, img_tokens, txt_tokens, logit_scale,
+        scoring=scoring, alpha=alpha, maxsim_impl=maxsim_impl,
+    )
+    metrics = compute_retrieval_metrics(sim, suite.txt2img, suite.img2txt)
+    prefixed = {f"{suite.name}_{k}": v for k, v in metrics.items()}
+    prefixed[f"{suite.name}_num_text_samples"] = suite.num_texts
+    prefixed[f"{suite.name}_num_image_samples"] = suite.num_images
+    return prefixed
+
+
+def evaluate(
+    model,
+    params,
+    suites: List[RetrievalSuite],
+    *,
+    epoch: int = 0,
+    batch_size: int = 256,
+    scoring: str = "global",
+    alpha: float = 0.5,
+    results_file: Optional[str] = None,
+    zero_shot_fn=None,
+) -> Dict[str, float]:
+    """Master-only eval over all suites (reference train.py:273-363)."""
+    metrics: Dict[str, float] = {"epoch": epoch}
+    if zero_shot_fn is not None:
+        metrics.update(zero_shot_fn(model, params))
+    for suite in suites:
+        logger.info("evaluating retrieval on %s (%d texts / %d images)",
+                    suite.name, suite.num_texts, suite.num_images)
+        metrics.update(retrieval_on_split(
+            model, params, suite, batch_size=batch_size,
+            scoring=scoring, alpha=alpha,
+        ))
+    logger.info("eval epoch %d: %s", epoch,
+                "\t".join(f"{k}: {round(v, 4)}" for k, v in metrics.items()))
+    if results_file:
+        os.makedirs(os.path.dirname(results_file) or ".", exist_ok=True)
+        with open(results_file, "a") as f:
+            f.write(json.dumps(metrics) + "\n")
+    return metrics

@@ -1,0 +1,55 @@
+"""Per-step learning-rate schedules.
+
+Native counterparts of the imported ``open_clip_train.scheduler`` lambdas
+(SURVEY.md §2.2; reference call site main.py:338-348):
+  - cosine_lr          : linear warmup -> cosine decay to 0
+  - const_lr           : linear warmup -> constant
+  - const_lr_cooldown  : warmup -> constant -> polynomial cooldown tail
+Returned callables map step -> lr and plug into optax inject_hyperparams.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+
+
+def _warmup(step, base_lr, warmup_length):
+    return base_lr * (step + 1) / jnp.maximum(warmup_length, 1)
+
+
+def cosine_lr(base_lr: float, warmup_length: int, steps: int) -> Callable:
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = _warmup(step, base_lr, warmup_length)
+        e = step - warmup_length
+        es = jnp.maximum(steps - warmup_length, 1)
+        cos = 0.5 * (1 + jnp.cos(jnp.pi * e / es)) * base_lr
+        return jnp.where(step < warmup_length, warm, cos)
+    return schedule
+
+
+def const_lr(base_lr: float, warmup_length: int) -> Callable:
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        return jnp.where(step < warmup_length, _warmup(step, base_lr, warmup_length), base_lr)
+    return schedule
+
+
+def const_lr_cooldown(
+    base_lr: float,
+    warmup_length: int,
+    steps: int,
+    cooldown_steps: int,
+    cooldown_power: float = 1.0,
+    cooldown_end_lr: float = 0.0,
+) -> Callable:
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        start_cooldown = steps - cooldown_steps
+        e = step - start_cooldown
+        decay = (1 - e / cooldown_steps) ** cooldown_power
+        cooled = decay * (base_lr - cooldown_end_lr) + cooldown_end_lr
+        out = jnp.where(step < warmup_length, _warmup(step, base_lr, warmup_length), base_lr)
+        return jnp.where(step >= start_cooldown, cooled, out)
+    return schedule

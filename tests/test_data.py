@@ -1,0 +1,189 @@
+"""Data pipeline tests: brace expansion, tar streaming, caption sampling, batching."""
+import io
+import json
+import os
+import random
+import tarfile
+
+import numpy as np
+import pytest
+
+from colxlip_tpu.data.captions import (
+    collect_captions,
+    sample_diverse_captions,
+    split_caption,
+)
+from colxlip_tpu.data.synthetic import SyntheticConfig, SyntheticDataset
+from colxlip_tpu.data.tokenizer import SimpleTokenizer
+from colxlip_tpu.data.transforms import image_transform
+from colxlip_tpu.data.wds import (
+    SharedEpoch,
+    WdsConfig,
+    WdsTrainPipeline,
+    braceexpand,
+    deterministic_shards,
+    expand_urls,
+    iter_tar_samples,
+    resampled_shards,
+)
+
+
+def test_braceexpand():
+    assert braceexpand("shard-{0000..0002}.tar") == [
+        "shard-0000.tar", "shard-0001.tar", "shard-0002.tar",
+    ]
+    assert braceexpand("plain.tar") == ["plain.tar"]
+    assert len(braceexpand("a-{00..04}-{0..1}.tar")) == 10
+
+
+def test_expand_urls_multisource_weights():
+    urls, weights = expand_urls("a-{0..2}.tar::b-{0..1}.tar", "1.0::3.0")
+    assert len(urls) == 5
+    assert weights == [1.0, 1.0, 1.0, 3.0, 3.0]
+    with pytest.raises(ValueError):
+        expand_urls("a.tar::b.tar", "1.0")
+
+
+def test_split_caption():
+    caps = split_caption("First one. Second one</s>Third\nFourth.")
+    assert caps == ["First one", "Second one", "Third", "Fourth"]
+
+
+def test_sample_diverse_captions_properties():
+    rng = random.Random(0)
+    caps = [f"sentence {i}" for i in range(6)]
+    for _ in range(50):
+        out = sample_diverse_captions(caps, k=3, max_merged_num=3, rng=rng)
+        assert len(out) == 3
+        for s in out:
+            assert s  # non-empty
+            parts = s.split(". ")
+            assert 1 <= len(parts) <= 3
+    # empty caption list degrades gracefully
+    assert sample_diverse_captions([], k=2) == ["", ""]
+
+
+def test_collect_captions_layout():
+    meta = {
+        "raw_caption": ["a"],
+        "shortIB_captions": ["b", "c"],
+        "longSV_captions": ["d"],
+    }
+    assert collect_captions(meta) == ["a", "b", "c", "d"]
+    assert collect_captions({"caption": "x. y"}, pixelprose=True) == ["x", "y"]
+
+
+@pytest.fixture(scope="module")
+def tar_shards(tmp_path_factory):
+    """Two tar shards of 8 samples each, reference caption-field layout."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("shards")
+    rng = np.random.default_rng(0)
+    for shard in range(2):
+        path = root / f"shard-{shard:04d}.tar"
+        with tarfile.open(path, "w") as tf:
+            for i in range(8):
+                key = f"{shard:04d}{i:05d}"
+                img = Image.fromarray((rng.random((32, 48, 3)) * 255).astype(np.uint8))
+                buf = io.BytesIO()
+                img.save(buf, format="JPEG")
+                data = buf.getvalue()
+                info = tarfile.TarInfo(f"{key}.jpg")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                meta = json.dumps({
+                    "raw_caption": [f"caption {key}"],
+                    "shortIB_captions": [f"short {key} a", f"short {key} b"],
+                    "longIB_captions": [],
+                    "shortSV_captions": [],
+                    "longSV_captions": [f"long sv {key}"],
+                    "shortLLA_captions": [],
+                    "longLLA_captions": [],
+                }).encode()
+                info = tarfile.TarInfo(f"{key}.json")
+                info.size = len(meta)
+                tf.addfile(info, io.BytesIO(meta))
+    return str(root)
+
+
+def test_iter_tar_samples(tar_shards):
+    samples = list(iter_tar_samples(os.path.join(tar_shards, "shard-0000.tar")))
+    assert len(samples) == 8
+    assert all("jpg" in s and "json" in s for s in samples)
+
+
+def test_iter_tar_samples_corrupt_file_is_skipped(tmp_path):
+    bad = tmp_path / "bad.tar"
+    bad.write_bytes(b"this is not a tar file at all")
+    assert list(iter_tar_samples(str(bad))) == []
+
+
+def test_deterministic_shards_partition():
+    urls = [f"s{i}" for i in range(16)]
+    all_parts = []
+    for rank in range(2):
+        for worker in range(2):
+            part = deterministic_shards(
+                urls, seed=7, epoch=3, rank=rank, world_size=2,
+                worker_id=worker, num_workers=2,
+            )
+            all_parts.append(part)
+    flat = sum(all_parts, [])
+    assert sorted(flat) == sorted(urls)  # exact partition
+    # different epoch -> different order
+    a = deterministic_shards(urls, seed=7, epoch=0, rank=0, world_size=1)
+    b = deterministic_shards(urls, seed=7, epoch=1, rank=0, world_size=1)
+    assert a != b and sorted(a) == sorted(b)
+
+
+def test_resampled_shards_weighted():
+    rng_out = list(resampled_shards(
+        ["a", "b"], [0.0, 1.0], seed=0, epoch=0, num_shards=50
+    ))
+    assert all(s == "b" for s in rng_out)
+
+
+def test_wds_train_pipeline_end_to_end(tar_shards):
+    tok = SimpleTokenizer(context_length=32)
+    transform = image_transform(32, is_train=True, seed=0)
+    cfg = WdsConfig(
+        urls=os.path.join(tar_shards, "shard-{0000..0001}.tar"),
+        batch_size=4, num_samples=16, num_workers=2,
+        num_sampled_captions=2, shuffle_buffer=8, shuffle_initial=4,
+    )
+    pipe = WdsTrainPipeline(cfg, transform, tok, SharedEpoch(0))
+    batches = list(pipe)
+    assert len(batches) >= 2
+    imgs, txts = batches[0]
+    assert imgs.shape == (4, 32, 32, 3)
+    assert txts.shape == (4, 2, 32)
+    assert txts.dtype == np.int32
+    assert (txts[:, :, 0] == 49406).all()
+
+
+def test_wds_pipeline_epoch_reshuffles(tar_shards):
+    tok = SimpleTokenizer(context_length=16)
+    transform = image_transform(32, is_train=False)
+    cfg = WdsConfig(
+        urls=os.path.join(tar_shards, "shard-{0000..0001}.tar"),
+        batch_size=4, num_samples=8, num_workers=1, shuffle_buffer=0,
+    )
+    epoch = SharedEpoch(0)
+    pipe = WdsTrainPipeline(cfg, transform, tok, epoch)
+    first = [t.tobytes() for _, t in pipe]
+    pipe.set_epoch(1)
+    second = [t.tobytes() for _, t in pipe]
+    assert len(first) == len(second) == 2
+
+
+def test_synthetic_dataset():
+    ds = SyntheticDataset(SyntheticConfig(batch_size=8, image_size=(32, 32),
+                                          context_length=16, num_samples=32))
+    batches = list(ds)
+    assert len(batches) == 4
+    imgs, txts = batches[0]
+    assert imgs.shape == (8, 32, 32, 3)
+    assert txts.shape == (8, 1, 16)
+    assert (txts[:, 0, 0] == 49406).all()
+    assert (txts.max(axis=-1) == 49407).all()

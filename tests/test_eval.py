@@ -1,0 +1,146 @@
+"""Eval harness tests: metric parity with a loop-oracle + end-to-end on a fake suite."""
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from colxlip_tpu.data.retrieval import RetrievalSuite, RetrievalExample, build_retrieval_suite
+from colxlip_tpu.data.tokenizer import SimpleTokenizer
+from colxlip_tpu.data.transforms import image_transform
+from colxlip_tpu.models import ColXLIP, CLIPCfg, get_model_config
+from colxlip_tpu.training.evaluate import (
+    compute_retrieval_metrics,
+    evaluate,
+    retrieval_on_split,
+)
+
+
+def loop_oracle(i2t_sim, txt2img, img2txt):
+    """Reference-style python loops (train.py:457-508)."""
+    t2i = i2t_sim.T
+    t2i_ranks = np.zeros(t2i.shape[0])
+    for i, score in enumerate(t2i):
+        inds = np.argsort(-score, kind="stable")
+        t2i_ranks[i] = np.where(inds == txt2img[i])[0][0]
+    i2t_ranks = np.zeros(i2t_sim.shape[0])
+    for i, score in enumerate(i2t_sim):
+        inds = np.argsort(-score, kind="stable")
+        i2t_ranks[i] = min(np.where(inds == c)[0][0] for c in img2txt[i])
+    out = {}
+    for pre, r in (("text_to_image", t2i_ranks), ("image_to_text", i2t_ranks)):
+        out[f"{pre}_R@1"] = float((r < 1).mean())
+        out[f"{pre}_R@5"] = float((r < 5).mean())
+        out[f"{pre}_R@10"] = float((r < 10).mean())
+        out[f"{pre}_mean_rank"] = float(r.mean() + 1)
+        out[f"{pre}_median_rank"] = float(np.floor(np.median(r)) + 1)
+    return out
+
+
+def test_metrics_match_loop_oracle(rng):
+    n_img, n_txt = 20, 60
+    sim = rng.standard_normal((n_img, n_txt))
+    txt2img = {c: c % n_img for c in range(n_txt)}
+    img2txt = {}
+    for c, i in txt2img.items():
+        img2txt.setdefault(i, []).append(c)
+    got = compute_retrieval_metrics(sim, txt2img, img2txt)
+    want = loop_oracle(sim, txt2img, img2txt)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-9, err_msg=k)
+
+
+def test_metrics_perfect_alignment():
+    n = 10
+    sim = np.eye(n) * 10 + np.random.default_rng(0).random((n, n))
+    txt2img = {i: i for i in range(n)}
+    img2txt = {i: [i] for i in range(n)}
+    m = compute_retrieval_metrics(sim, txt2img, img2txt)
+    assert m["text_to_image_R@1"] == 1.0
+    assert m["image_to_text_R@1"] == 1.0
+    assert m["text_to_image_mean_rank"] == 1.0
+
+
+@pytest.fixture(scope="module")
+def fake_coco(tmp_path_factory):
+    """Tiny on-disk COCO-layout dataset: 6 images x 2 captions."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("coco")
+    (root / "annotations").mkdir()
+    (root / "images" / "val2017").mkdir(parents=True)
+    images, annotations = [], []
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        fname = f"{i:012d}.jpg"
+        arr = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / "images" / "val2017" / fname)
+        images.append({"id": 100 + i, "file_name": fname})
+        for j in range(2):
+            annotations.append({
+                "image_id": 100 + i,
+                "caption": f"photo number {i} variant {j}",
+            })
+    with open(root / "annotations" / "captions_val2017.json", "w") as f:
+        json.dump({"images": images, "annotations": annotations}, f)
+    return str(root)
+
+
+def test_retrieval_suite_construction(fake_coco):
+    tok = SimpleTokenizer(context_length=32)
+    transform = image_transform(64, is_train=False)
+    suite = build_retrieval_suite("coco", {"root_dir": fake_coco}, tok, transform)
+    assert suite.num_texts == 12
+    assert suite.num_images == 6
+    assert suite.tokens.shape == (12, 32)
+    for img, caps in suite.img2txt.items():
+        assert len(caps) == 2
+        for c in caps:
+            assert suite.txt2img[c] == img
+    batches = list(suite.iter_image_batches(4))
+    assert batches[0].shape == (4, 64, 64, 3)
+    assert sum(b.shape[0] for b in batches) == 6
+
+
+@pytest.mark.parametrize("scoring", ["global", "maxsim", "mixed"])
+def test_retrieval_on_split_runs(fake_coco, scoring):
+    import jax
+
+    tok = SimpleTokenizer(context_length=32)
+    transform = image_transform(64, is_train=False)
+    suite = build_retrieval_suite("coco", {"root_dir": fake_coco}, tok, transform)
+    cfg = CLIPCfg.from_dict(get_model_config("ViT-S-16-test"))
+    model = ColXLIP(cfg, dtype=jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.asarray(suite.tokens[:1])
+    )
+    metrics = retrieval_on_split(
+        model, params, suite, batch_size=4, scoring=scoring, maxsim_impl="xla",
+    )
+    for key in ("coco_text_to_image_R@1", "coco_image_to_text_R@10",
+                "coco_text_to_image_mean_rank"):
+        assert key in metrics
+        assert np.isfinite(metrics[key])
+    assert metrics["coco_num_image_samples"] == 6
+
+
+def test_evaluate_writes_results_jsonl(fake_coco, tmp_path):
+    import jax
+
+    tok = SimpleTokenizer(context_length=32)
+    transform = image_transform(64, is_train=False)
+    suite = build_retrieval_suite("coco", {"root_dir": fake_coco}, tok, transform)
+    cfg = CLIPCfg.from_dict(get_model_config("ViT-S-16-test"))
+    model = ColXLIP(cfg, dtype=jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.asarray(suite.tokens[:1])
+    )
+    results = tmp_path / "results.jsonl"
+    metrics = evaluate(
+        model, params, [suite], epoch=3, batch_size=4, results_file=str(results)
+    )
+    assert metrics["epoch"] == 3
+    logged = json.loads(results.read_text().splitlines()[-1])
+    assert logged["epoch"] == 3
+    assert "coco_text_to_image_R@1" in logged
