@@ -1,0 +1,183 @@
+"""Model factory and registry.
+
+Counterpart of reference src/colxlip/factory.py:
+  - JSON config registry (factory.py:35-84) — see models/configs.py
+  - ``create_model`` (factory.py:204-364): "colxlip" in the model name selects
+    the ColXLIP class, otherwise plain CLIP (factory.py:286-289); precision
+    policy; pretrained/checkpoint loading with base-CLIP weight reuse for
+    colxlip models (tag strip, factory.py:318-341) and pos-embed resize
+  - ``create_model_and_transforms`` (factory.py:367-421)
+  - ``get_tokenizer`` (factory.py:87-128)
+  - ``create_loss`` (factory.py:424-461) -> a TrainStepConfig here: losses are
+    pure functions selected by the train step
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .data.tokenizer import SimpleTokenizer
+from .data.transforms import (
+    AugmentationCfg,
+    ImageTransform,
+    OPENAI_DATASET_MEAN,
+    OPENAI_DATASET_STD,
+    image_transform,
+)
+from .models import CLIP, CLIPCfg, ColXLIP, PrecisionPolicy, get_model_config, list_models
+from .parallel.train_step import TrainStepConfig
+
+logger = logging.getLogger(__name__)
+
+
+def create_model(
+    model_name: str,
+    *,
+    precision: str = "bf16",
+    quick_gelu: Optional[bool] = None,
+    force_image_size: Optional[int] = None,
+    force_patch_dropout: Optional[float] = None,
+    grad_checkpointing: bool = False,
+    alpha: float = 0.5,
+    init_logit_bias: Optional[float] = None,
+):
+    """Build the model definition (uninitialized flax Module) + its config."""
+    cfg_dict = get_model_config(model_name)
+    if cfg_dict is None:
+        raise RuntimeError(
+            f"Model config for {model_name} not found; available: {list_models()}"
+        )
+    cfg = CLIPCfg.from_dict(cfg_dict)
+    if quick_gelu is not None:
+        cfg = dataclasses.replace(cfg, quick_gelu=quick_gelu)
+    if force_image_size is not None:
+        cfg.vision_cfg.image_size = force_image_size
+    if force_patch_dropout is not None:
+        cfg.vision_cfg.patch_dropout = force_patch_dropout
+    if init_logit_bias is not None:
+        cfg = dataclasses.replace(cfg, init_logit_bias=init_logit_bias)
+    cfg = dataclasses.replace(cfg, alpha=alpha)
+
+    policy = PrecisionPolicy.from_precision(precision)
+    model_cls = ColXLIP if "colxlip" in model_name.lower() else CLIP
+    model = model_cls(
+        cfg,
+        dtype=policy.compute_dtype,
+        param_dtype=policy.param_dtype,
+        remat=grad_checkpointing,
+    )
+    return model, cfg
+
+
+def init_params(model, cfg: CLIPCfg, seed: int = 0):
+    h, w = (cfg.vision_cfg.image_size,) * 2 if isinstance(
+        cfg.vision_cfg.image_size, int
+    ) else cfg.vision_cfg.image_size
+    images = jnp.zeros((1, h, w, 3), jnp.float32)
+    texts = jnp.zeros((1, cfg.text_cfg.context_length), jnp.int32)
+    texts = texts.at[:, 0].set(49406).at[:, 1].set(49407)
+    return model.init(jax.random.PRNGKey(seed), images, texts)
+
+
+def load_weights(
+    model,
+    cfg: CLIPCfg,
+    checkpoint_path: str,
+    *,
+    seed: int = 0,
+):
+    """Initialize params then load a checkpoint (.pt or orbax) non-strictly.
+
+    For colxlip models a plain-CLIP checkpoint loads the towers and leaves
+    token heads at init (reference factory.py:318-341 tag-strip reuse).
+    """
+    from .training.checkpoint import load_native_checkpoint, load_pt_checkpoint
+
+    params = init_params(model, cfg, seed)
+    if checkpoint_path.endswith((".pt", ".pth", ".bin")):
+        params = load_pt_checkpoint(
+            checkpoint_path,
+            expected_params=params,
+            grid_size=cfg.vision_cfg.grid_size,
+        )
+        params = jax.tree.map(jnp.asarray, params)
+    else:
+        restored = load_native_checkpoint(checkpoint_path)
+        state = restored.get("state", restored)
+        loaded = state.get("params", state)
+        params = jax.tree.map(jnp.asarray, loaded)
+    return params
+
+
+def create_model_and_transforms(
+    model_name: str,
+    pretrained: Optional[str] = None,
+    *,
+    precision: str = "bf16",
+    quick_gelu: Optional[bool] = None,
+    force_image_size: Optional[int] = None,
+    force_patch_dropout: Optional[float] = None,
+    grad_checkpointing: bool = False,
+    alpha: float = 0.5,
+    image_mean: Tuple[float, ...] = OPENAI_DATASET_MEAN,
+    image_std: Tuple[float, ...] = OPENAI_DATASET_STD,
+    aug_cfg: Optional[AugmentationCfg] = None,
+    seed: int = 0,
+):
+    """(model, cfg, params, preprocess_train, preprocess_val) —
+    reference factory.py:367-421."""
+    model, cfg = create_model(
+        model_name, precision=precision, quick_gelu=quick_gelu,
+        force_image_size=force_image_size,
+        force_patch_dropout=force_patch_dropout,
+        grad_checkpointing=grad_checkpointing, alpha=alpha,
+    )
+    if pretrained:
+        params = load_weights(model, cfg, pretrained, seed=seed)
+    else:
+        params = init_params(model, cfg, seed)
+    size = cfg.vision_cfg.image_size
+    preprocess_train = image_transform(
+        size, is_train=True, mean=image_mean, std=image_std, aug_cfg=aug_cfg
+    )
+    preprocess_val = image_transform(size, is_train=False, mean=image_mean, std=image_std)
+    return model, cfg, params, preprocess_train, preprocess_val
+
+
+def get_tokenizer(
+    model_name: str = "", context_length: Optional[int] = None, **kwargs
+) -> SimpleTokenizer:
+    """Tokenizer for a registered model (reference factory.py:87-128)."""
+    cfg_dict = get_model_config(model_name) if model_name else None
+    if context_length is None:
+        if cfg_dict is not None:
+            context_length = cfg_dict.get("text_cfg", {}).get("context_length", 77)
+        else:
+            context_length = 77
+    return SimpleTokenizer(context_length=context_length, **kwargs)
+
+
+def create_loss(args) -> TrainStepConfig:
+    """Map driver args to the train-step loss config (factory.py:424-461):
+    'colxlip' in model name -> ColCLIP alpha-mix; --siglip -> SigLIP;
+    otherwise plain CLIP InfoNCE."""
+    model_name = getattr(args, "model", "")
+    if getattr(args, "siglip", False):
+        loss_type = "siglip"
+    elif "colxlip" in model_name.lower():
+        loss_type = "colclip"
+    else:
+        loss_type = "clip"
+    return TrainStepConfig(
+        loss_type=loss_type,
+        alpha=getattr(args, "alpha", 0.5),
+        local_loss=getattr(args, "local_loss", False),
+        gather_with_grad=getattr(args, "gather_with_grad", False),
+        accum_freq=getattr(args, "accum_freq", 1),
+        maxsim_impl=getattr(args, "maxsim_impl", "auto"),
+        dist_impl=getattr(args, "dist_impl", None) or "bidir",
+    )

@@ -1,0 +1,291 @@
+"""Experiment driver: the ``python -m colxlip_tpu.main`` entry point.
+
+Counterpart of reference src/main.py:79-479: experiment naming, logging,
+resume-latest discovery, model/optimizer construction, data, the epoch loop
+with eval + checkpoint save/rotate, remote sync, eval-only mode.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+from datetime import datetime
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.retrieval import RetrievalSuite, build_retrieval_suite
+from .data.synthetic import SyntheticConfig, SyntheticDataset
+from .data.wds import SharedEpoch, WdsConfig, WdsTrainPipeline
+from .factory import create_loss, create_model_and_transforms, get_tokenizer
+from .parallel.mesh import create_mesh, initialize_multihost
+from .parallel.train_step import (
+    TrainState,
+    init_train_state,
+    make_train_step,
+    replicate_state,
+)
+from .training.checkpoint import (
+    get_latest_checkpoint,
+    load_native_checkpoint,
+    rotate_checkpoints,
+    save_checkpoint,
+)
+from .training.evaluate import evaluate
+from .training.logging_utils import MetricsWriter, dump_params, setup_logging
+from .training.optim import create_optimizer
+from .training.schedules import const_lr, const_lr_cooldown, cosine_lr
+from .training.train import train_one_epoch
+from .params import parse_args
+from .utils.file_utils import remote_sync, start_sync_process
+
+logger = logging.getLogger(__name__)
+
+LATEST_CHECKPOINT_NAME = "epoch_latest"
+
+
+def generate_name(args) -> str:
+    """Auto experiment name (reference main.py:92-107)."""
+    date_str = datetime.now().strftime("%Y_%m_%d-%H_%M_%S")
+    model_name_safe = args.model.replace("/", "-")
+    return "-".join([
+        date_str,
+        f"model_{model_name_safe}",
+        f"lr_{args.lr}",
+        f"b_{args.batch_size}",
+        f"p_{args.precision}",
+    ])
+
+
+def build_retrieval_suites(args, tokenizer, preprocess_val) -> List[RetrievalSuite]:
+    suites = []
+
+    def add(flag, name, reader_args):
+        if flag and all(v is not None for v in reader_args.values()):
+            try:
+                suites.append(build_retrieval_suite(name, reader_args, tokenizer, preprocess_val))
+            except (OSError, KeyError) as e:
+                logger.warning("skipping retrieval suite %s: %s", name, e)
+
+    add(args.retrieval_coco, "coco", {"root_dir": args.coco_data_root_dir, "split": "val"})
+    add(args.retrieval_flickr, "flickr",
+        {"root_dir": args.flickr_data_root_dir, "split": args.flickr_val_or_test})
+    add(args.retrieval_docci, "docci", {"root_dir": args.docci_data_root_dir})
+    add(args.retrieval_urban_1k, "urban_1k", {"root_dir": args.urban_1k_data_root_dir})
+    add(args.retrieval_dci, "dci", {"root_dir": args.dci_data_root_dir})
+    add(args.retrieval_iiw, "iiw",
+        {"root_dir": args.iiw_data_root_dir, "finegrained": args.iiw_finegrained})
+    add(args.retrieval_sharegpt4v and args.sharegpt4v_json_1k is not None,
+        "sharegpt4v-1k",
+        {"root_dir": args.sharegpt4v_data_root_dir, "json_name": args.sharegpt4v_json_1k})
+    add(args.retrieval_sharegpt4v and args.sharegpt4v_json_10k is not None,
+        "sharegpt4v-10k",
+        {"root_dir": args.sharegpt4v_data_root_dir, "json_name": args.sharegpt4v_json_10k})
+    return suites
+
+
+def build_lr_schedule(args, total_steps: int):
+    if args.lr_scheduler == "cosine":
+        return cosine_lr(args.lr, args.warmup, total_steps)
+    if args.lr_scheduler == "const":
+        return const_lr(args.lr, args.warmup)
+    if args.lr_scheduler == "const-cooldown":
+        cooldown_steps = (args.epochs_cooldown or 0) * max(
+            total_steps // max(args.epochs, 1), 1
+        )
+        return const_lr_cooldown(
+            args.lr, args.warmup, total_steps, cooldown_steps,
+            args.lr_cooldown_power, args.lr_cooldown_end,
+        )
+    raise ValueError(f"Unknown scheduler {args.lr_scheduler}")
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+
+    initialize_multihost(args.dist_coordinator, args.dist_num_processes,
+                         args.dist_process_id)
+    is_master = jax.process_index() == 0
+    num_devices = jax.device_count()
+
+    if args.name is None:
+        args.name = generate_name(args)
+
+    log_base = os.path.join(args.logs, args.name)
+    checkpoint_dir = os.path.join(log_base, "checkpoints")
+    if is_master:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+    setup_logging(
+        os.path.join(log_base, "out.log") if is_master else None,
+        logging.DEBUG if args.debug else logging.INFO,
+    )
+    if is_master:
+        dump_params(args, os.path.join(log_base, "params.txt"))
+    logger.info("Running with %d device(s) on %d process(es).",
+                num_devices, jax.process_count())
+
+    # resume-latest discovery (reference main.py:138-170)
+    resume_from = None
+    if args.resume == "latest":
+        resume_from = get_latest_checkpoint(checkpoint_dir)
+        if resume_from:
+            logger.info("Found latest checkpoint: %s", resume_from)
+    elif args.resume:
+        resume_from = args.resume
+
+    # remote sync (reference main.py:176-196)
+    sync_thread = None
+    if args.remote_sync and is_master:
+        if not remote_sync(log_base, os.path.join(args.remote_sync, args.name),
+                           args.remote_sync_protocol):
+            logger.error("Error: remote sync failed from startup")
+            return 1
+        sync_thread = start_sync_process(
+            args.remote_sync_frequency, log_base,
+            os.path.join(args.remote_sync, args.name), args.remote_sync_protocol,
+        )
+
+    # model + transforms
+    model, cfg, params, preprocess_train, preprocess_val = create_model_and_transforms(
+        args.model,
+        pretrained=args.pretrained or None,
+        precision=args.precision,
+        quick_gelu=True if args.force_quick_gelu else None,
+        force_image_size=args.force_image_size,
+        force_patch_dropout=args.force_patch_dropout,
+        grad_checkpointing=args.grad_checkpointing,
+        alpha=args.alpha,
+        seed=args.seed,
+    )
+    tokenizer = get_tokenizer(args.model)
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    logger.info("Model: %s (%.1fM params)", args.model, n_params / 1e6)
+
+    suites = build_retrieval_suites(args, tokenizer, preprocess_val)
+
+    # eval-only mode (reference main.py:390-396)
+    if not args.train_data and args.dataset_type != "synthetic":
+        if not suites:
+            logger.error("eval-only mode but no retrieval suites configured")
+            return 1
+        evaluate(
+            model, params, suites, epoch=0, batch_size=args.batch_size,
+            scoring=args.eval_scoring, alpha=args.alpha,
+            results_file=os.path.join(checkpoint_dir, "results.jsonl"),
+        )
+        return 0
+
+    # data
+    global_batch = args.batch_size * num_devices
+    shared_epoch = SharedEpoch(0)
+    if args.dataset_type == "synthetic" or not args.train_data:
+        num_samples = args.train_num_samples or global_batch * 100
+        h = cfg.vision_cfg.image_size
+        h = h if isinstance(h, int) else h[0]
+        train_data = SyntheticDataset(SyntheticConfig(
+            batch_size=global_batch, image_size=(h, h),
+            context_length=cfg.text_cfg.context_length,
+            num_sampled_captions=args.num_sampled_captions,
+            seed=args.seed, num_samples=num_samples,
+        ))
+        num_batches = len(train_data)
+    else:
+        wds_cfg = WdsConfig(
+            urls=args.train_data,
+            weights=args.train_data_upsampling_factors,
+            batch_size=global_batch,
+            num_samples=args.train_num_samples,
+            resampled=args.dataset_resampled,
+            seed=args.seed,
+            num_workers=args.workers,
+            num_sampled_captions=args.num_sampled_captions,
+            max_merged_num=args.max_merged_num,
+            pixelprose=args.pixelprose,
+            rank=jax.process_index(),
+            world_size=jax.process_count(),
+        )
+        train_data = WdsTrainPipeline(wds_cfg, preprocess_train, tokenizer, shared_epoch)
+        num_batches = train_data.num_batches or 1000
+    steps_per_epoch = args.steps_per_epoch or num_batches
+    total_steps = steps_per_epoch * args.epochs
+
+    # optimizer + schedule + train step
+    lr_schedule = build_lr_schedule(args, total_steps)
+    tx = create_optimizer(
+        lr_schedule if not args.skip_scheduler else args.lr,
+        beta1=args.beta1, beta2=args.beta2, eps=args.eps,
+        weight_decay=args.wd, grad_clip_norm=args.grad_clip_norm,
+    )
+    mesh = create_mesh(model_parallel=args.model_parallel) if num_devices > 1 else None
+    loss_cfg = create_loss(args)
+    step_fn = make_train_step(model, tx, loss_cfg, mesh=mesh)
+
+    state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    start_epoch = 0
+    if resume_from:
+        restored = load_native_checkpoint(resume_from, template=state._asdict())
+        start_epoch = int(restored["epoch"])
+        s = restored["state"]
+        state = jax.tree.map(jnp.asarray, TrainState(s["step"], s["params"], s["opt_state"]))
+        logger.info("=> resuming checkpoint '%s' (epoch %d)", resume_from, start_epoch)
+    if mesh is not None:
+        state = replicate_state(state, mesh)
+
+    writer = MetricsWriter(log_base, args.report_to) if is_master else None
+
+    for epoch in range(start_epoch, args.epochs):
+        logger.info("Start epoch %d", epoch)
+        if hasattr(train_data, "set_epoch"):
+            train_data.set_epoch(epoch)
+        t0 = time.perf_counter()
+        state, steps = train_one_epoch(
+            step_fn, state, iter(train_data),
+            epoch=epoch, global_batch_size=global_batch,
+            num_devices=num_devices,
+            log_every_n_steps=args.log_every_n_steps,
+            writer=writer, steps_per_epoch=steps_per_epoch,
+            lr_schedule=lr_schedule,
+            profiler_dir=args.profile_dir if epoch == start_epoch else None,
+        )
+        logger.info("Epoch %d done: %d steps in %.1fs", epoch, steps,
+                    time.perf_counter() - t0)
+        completed_epoch = epoch + 1
+
+        if suites and is_master and (
+            completed_epoch % args.val_frequency == 0 or completed_epoch == args.epochs
+        ):
+            eval_params = jax.device_get(state.params)
+            evaluate(
+                model, jax.tree.map(jnp.asarray, eval_params), suites,
+                epoch=completed_epoch, batch_size=args.batch_size,
+                scoring=args.eval_scoring, alpha=args.alpha,
+                results_file=os.path.join(checkpoint_dir, "results.jsonl"),
+            )
+
+        if is_master and args.save_frequency > 0 and (
+            completed_epoch % args.save_frequency == 0 or completed_epoch == args.epochs
+        ):
+            host_state = jax.device_get(state)._asdict()
+            save_checkpoint(checkpoint_dir, host_state, epoch=completed_epoch,
+                            name=args.name)
+            if args.delete_previous_checkpoint:
+                rotate_checkpoints(checkpoint_dir, completed_epoch)
+        if is_master and args.save_most_recent:
+            host_state = jax.device_get(state)._asdict()
+            save_checkpoint(checkpoint_dir, host_state, epoch=completed_epoch,
+                            name=args.name, most_recent=True)
+
+    if sync_thread is not None:
+        sync_thread.stop_event.set()
+        remote_sync(log_base, os.path.join(args.remote_sync, args.name),
+                    args.remote_sync_protocol)
+    if writer:
+        writer.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

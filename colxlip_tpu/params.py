@@ -1,0 +1,169 @@
+"""Experiment flag system.
+
+Counterpart of reference src/colxlip/params.py:33-988, trimmed to the flags
+that are actually read somewhere (SURVEY.md §7 item 7 drops the vestigial
+FLAIR/DreamLIP ablation switches). Per-model defaults (ViT -> beta2=0.98,
+eps=1e-6) mirror params.py:12-18 / :982-986.
+"""
+from __future__ import annotations
+
+import argparse
+import ast
+from typing import Optional
+
+
+def get_default_params(model_name: str) -> dict:
+    """Per-arch optimizer defaults (reference params.py:12-18)."""
+    model_name = model_name.lower()
+    if "vit" in model_name:
+        return {"lr": 5.0e-4, "beta1": 0.9, "beta2": 0.98, "eps": 1.0e-6}
+    return {"lr": 5.0e-4, "beta1": 0.9, "beta2": 0.999, "eps": 1.0e-8}
+
+
+class ParseKwargs(argparse.Action):
+    """--aug-cfg key=value parser (reference params.py:21-30)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        kw = {}
+        for value in values:
+            key, _, v = value.partition("=")
+            try:
+                kw[key] = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                kw[key] = str(v)
+        setattr(namespace, self.dest, kw)
+
+
+def parse_args(args=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser("colxlip_tpu training/eval driver")
+
+    # data
+    parser.add_argument("--train-data", type=str, default=None,
+                        help="webdataset shard spec; '::' joins weighted sources")
+    parser.add_argument("--train-data-upsampling-factors", type=str, default=None)
+    parser.add_argument("--train-num-samples", type=int, default=None)
+    parser.add_argument("--dataset-type", choices=["webdataset", "synthetic", "auto"],
+                        default="auto")
+    parser.add_argument("--train-dataset-type", type=str, default="webdataset")
+    parser.add_argument("--dataset-resampled", default=False, action="store_true")
+    parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--num-sampled-captions", type=int, default=8)
+    parser.add_argument("--max-merged-num", type=int, default=3)
+    parser.add_argument("--caption-sampling-mode", type=str, default="diverse_sampling")
+    parser.add_argument("--pixelprose", default=False, action="store_true")
+
+    # retrieval eval suites (reference params.py retrieval dirs)
+    parser.add_argument("--retrieval-coco", default=False, action="store_true")
+    parser.add_argument("--coco-data-root-dir", type=str, default=None)
+    parser.add_argument("--retrieval-flickr", default=False, action="store_true")
+    parser.add_argument("--flickr-data-root-dir", type=str, default=None)
+    parser.add_argument("--flickr-val-or-test", type=str, default="val")
+    parser.add_argument("--retrieval-docci", default=False, action="store_true")
+    parser.add_argument("--docci-data-root-dir", type=str, default=None)
+    parser.add_argument("--retrieval-urban-1k", default=False, action="store_true")
+    parser.add_argument("--urban-1k-data-root-dir", type=str, default=None)
+    parser.add_argument("--retrieval-iiw", default=False, action="store_true")
+    parser.add_argument("--iiw-data-root-dir", type=str, default=None)
+    parser.add_argument("--iiw-finegrained", default=False, action="store_true")
+    parser.add_argument("--retrieval-dci", default=False, action="store_true")
+    parser.add_argument("--dci-data-root-dir", type=str, default=None)
+    parser.add_argument("--retrieval-sharegpt4v", default=False, action="store_true")
+    parser.add_argument("--sharegpt4v-data-root-dir", type=str, default=None)
+    parser.add_argument("--sharegpt4v-json-1k", type=str, default=None)
+    parser.add_argument("--sharegpt4v-json-10k", type=str, default=None)
+    parser.add_argument("--imagenet-val", type=str, default=None,
+                        help="ImageNet val dir for zero-shot eval")
+    parser.add_argument("--zeroshot-frequency", type=int, default=2)
+    parser.add_argument("--val-frequency", type=int, default=1)
+
+    # experiment / logging
+    parser.add_argument("--logs", type=str, default="./logs/")
+    parser.add_argument("--log-local", action="store_true", default=False)
+    parser.add_argument("--name", type=str, default=None)
+    parser.add_argument("--report-to", type=str, default="",
+                        help="comma-separated: tensorboard,jsonl")
+    parser.add_argument("--debug", default=False, action="store_true")
+    parser.add_argument("--copy-codebase", default=False, action="store_true")
+
+    # checkpointing
+    parser.add_argument("--resume", type=str, default=None,
+                        help="path or 'latest'")
+    parser.add_argument("--save-frequency", type=int, default=1)
+    parser.add_argument("--save-most-recent", action="store_true", default=False)
+    parser.add_argument("--delete-previous-checkpoint", action="store_true", default=False)
+    parser.add_argument("--remote-sync", type=str, default=None)
+    parser.add_argument("--remote-sync-frequency", type=int, default=300)
+    parser.add_argument("--remote-sync-protocol", choices=["s3", "fsspec"], default="s3")
+
+    # optimization
+    parser.add_argument("--batch-size", type=int, default=64,
+                        help="per-device batch size")
+    parser.add_argument("--epochs", type=int, default=32)
+    parser.add_argument("--epochs-cooldown", type=int, default=None)
+    parser.add_argument("--steps-per-epoch", type=int, default=None,
+                        help="override (else derived from train-num-samples)")
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--beta1", type=float, default=None)
+    parser.add_argument("--beta2", type=float, default=None)
+    parser.add_argument("--eps", type=float, default=None)
+    parser.add_argument("--wd", type=float, default=0.2)
+    parser.add_argument("--warmup", type=int, default=10000)
+    parser.add_argument("--lr-scheduler", type=str, default="cosine",
+                        choices=["cosine", "const", "const-cooldown"])
+    parser.add_argument("--lr-cooldown-end", type=float, default=0.0)
+    parser.add_argument("--lr-cooldown-power", type=float, default=1.0)
+    parser.add_argument("--accum-freq", type=int, default=1)
+    parser.add_argument("--grad-clip-norm", type=float, default=None)
+    parser.add_argument("--grad-checkpointing", default=False, action="store_true")
+    parser.add_argument("--skip-scheduler", action="store_true", default=False)
+
+    # model
+    parser.add_argument("--model", type=str, default="ViT-B-32-colxlip")
+    parser.add_argument("--pretrained", type=str, default="")
+    parser.add_argument("--precision", type=str, default="bf16",
+                        choices=["bf16", "pure_bf16", "fp32", "amp", "amp_bf16"])
+    parser.add_argument("--force-quick-gelu", default=False, action="store_true")
+    parser.add_argument("--force-patch-dropout", default=None, type=float)
+    parser.add_argument("--force-image-size", type=int, default=None)
+    parser.add_argument("--lock-image", default=False, action="store_true")
+    parser.add_argument("--lock-text", default=False, action="store_true")
+    parser.add_argument("--aug-cfg", nargs="*", default={}, action=ParseKwargs)
+    parser.add_argument("--torchcompile", default=False, action="store_true",
+                        help="accepted for CLI parity; everything is jit-compiled")
+
+    # loss
+    parser.add_argument("--alpha", type=float, default=0.5,
+                        help="global/token loss mix (reference --alpha)")
+    parser.add_argument("--local-loss", default=False, action="store_true")
+    parser.add_argument("--gather-with-grad", default=False, action="store_true")
+    parser.add_argument("--siglip", default=False, action="store_true")
+    parser.add_argument("--dist-impl", type=str, default=None,
+                        choices=[None, "bidir", "shift", "reduce", "gather"])
+    parser.add_argument("--maxsim-impl", type=str, default="auto",
+                        choices=["auto", "xla", "chunked", "pallas"])
+    parser.add_argument("--eval-scoring", type=str, default="global",
+                        choices=["global", "maxsim", "mixed"])
+
+    # distributed (jax runtime)
+    parser.add_argument("--dist-coordinator", type=str, default=None,
+                        help="jax.distributed coordinator address (multi-host)")
+    parser.add_argument("--dist-num-processes", type=int, default=None)
+    parser.add_argument("--dist-process-id", type=int, default=None)
+    parser.add_argument("--model-parallel", type=int, default=1,
+                        help="mesh model-axis size (tensor sharding)")
+
+    # misc
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--trace", default=False, action="store_true")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="jax profiler trace output dir")
+    parser.add_argument("--log-every-n-steps", type=int, default=100)
+
+    ns = parser.parse_args(args)
+
+    # per-arch defaults applied post-parse (reference params.py:982-986)
+    defaults = get_default_params(ns.model)
+    for name, val in defaults.items():
+        if getattr(ns, name) is None:
+            setattr(ns, name, val)
+    return ns

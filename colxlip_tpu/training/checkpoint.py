@@ -1,0 +1,311 @@
+"""Checkpointing: orbax-native save/rotate/resume + PyTorch ``.pt`` import.
+
+Counterparts:
+  - save/rotate/resume-latest: reference src/main.py:54-67,138-170,413-441
+    (epoch-granularity saves, ``--delete-previous-checkpoint`` rotation,
+    natural-sort latest discovery, atomic most-recent replace).
+  - ``.pt`` import: reference factory.py:144-201 ``load_checkpoint`` — maps
+    OpenCLIP/ColXLIP torch state dicts (incl. ``module.`` prefixes, packed
+    QKV ``in_proj_weight``, bare-``Parameter`` projections, Sequential token
+    heads) onto this framework's flax param tree, with position-embedding
+    interpolation on image-size mismatch (reference model.py:355-418).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# native orbax checkpoints
+# ---------------------------------------------------------------------------
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(
+    checkpoint_dir: str,
+    state,
+    *,
+    epoch: int,
+    name: str = "",
+    most_recent: bool = False,
+) -> str:
+    """Write epoch_<N> (or epoch_latest) under checkpoint_dir."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tag = "epoch_latest" if most_recent else f"epoch_{epoch}"
+    path = os.path.join(os.path.abspath(checkpoint_dir), tag)
+    payload = {
+        "epoch": epoch,
+        "name": name,
+        "state": _to_pure_dict(state),
+    }
+    ckptr = _checkpointer()
+    if most_recent and os.path.exists(path):
+        # atomic replace semantics (reference main.py:436-441): orbax writes
+        # to tmp then renames, but target must not exist
+        tmp = path + ".tmp"
+        ckptr.save(tmp, payload, force=True)
+        backup = path + ".old"
+        os.rename(path, backup)
+        os.rename(tmp, path)
+        import shutil
+
+        shutil.rmtree(backup, ignore_errors=True)
+    else:
+        ckptr.save(path, payload, force=True)
+    return path
+
+
+def _to_pure_dict(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def load_native_checkpoint(path: str, template=None):
+    """Restore a checkpoint; with ``template`` the restored tree keeps the
+    template's container types (optax NamedTuple states etc.) instead of
+    degrading to plain dicts."""
+    ckptr = _checkpointer()
+    if template is None:
+        return ckptr.restore(os.path.abspath(path))
+    item = {"epoch": 0, "name": "", "state": _to_pure_dict(template)}
+    return ckptr.restore(os.path.abspath(path), item)
+
+
+def _natural_key(s: str):
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s.lower())]
+
+
+def get_latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
+    """Newest epoch_* dir by natural sort (reference main.py:54-67)."""
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    entries = [
+        e for e in os.listdir(checkpoint_dir)
+        if e.startswith("epoch_") and not e.endswith((".tmp", ".old"))
+    ]
+    if not entries:
+        return None
+    entries = sorted(entries, key=_natural_key)
+    # epoch_latest sorts after numbers; prefer explicit numbered checkpoints,
+    # falling back to epoch_latest (reference scans both, main.py:58-66)
+    return os.path.join(checkpoint_dir, entries[-1])
+
+
+def rotate_checkpoints(checkpoint_dir: str, current_epoch: int) -> None:
+    """--delete-previous-checkpoint semantics (reference main.py:424-434)."""
+    import shutil
+
+    prev = os.path.join(checkpoint_dir, f"epoch_{current_epoch - 1}")
+    if os.path.exists(prev):
+        shutil.rmtree(prev, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# torch .pt import
+# ---------------------------------------------------------------------------
+
+def load_pt_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint to numpy (reference open_clip_train pt_load)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        sd = ckpt["state_dict"]
+    elif isinstance(ckpt, dict) and "module" in ckpt:
+        sd = ckpt["module"]
+    else:
+        sd = ckpt
+    # strip DDP 'module.' prefix (reference main.py:311-312, factory.py:154-155)
+    if next(iter(sd)).startswith("module."):
+        sd = {k[len("module."):]: v for k, v in sd.items()}
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()
+            if hasattr(v, "detach")}
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+_RESBLOCK_RE = re.compile(r"^transformer\.resblocks\.(\d+)\.(.+)$")
+
+
+def _convert_block_param(sub: str, value: np.ndarray):
+    """Map one in-block torch key to (flax_subpath, array)."""
+    m = {
+        "ln_1.weight": (("ln_1", "scale"), value),
+        "ln_1.bias": (("ln_1", "bias"), value),
+        "ln_2.weight": (("ln_2", "scale"), value),
+        "ln_2.bias": (("ln_2", "bias"), value),
+        "attn.in_proj_weight": (("attn", "in_proj", "kernel"), value.T),
+        "attn.in_proj_bias": (("attn", "in_proj", "bias"), value),
+        "attn.out_proj.weight": (("attn", "out_proj", "kernel"), value.T),
+        "attn.out_proj.bias": (("attn", "out_proj", "bias"), value),
+        "mlp.c_fc.weight": (("mlp", "c_fc", "kernel"), value.T),
+        "mlp.c_fc.bias": (("mlp", "c_fc", "bias"), value),
+        "mlp.c_proj.weight": (("mlp", "c_proj", "kernel"), value.T),
+        "mlp.c_proj.bias": (("mlp", "c_proj", "bias"), value),
+        "ls_1.gamma": (("ls_1", "gamma"), value),
+        "ls_2.gamma": (("ls_2", "gamma"), value),
+    }
+    if sub not in m:
+        return None
+    return m[sub]
+
+
+def _convert_token_head(prefix: str, key: str, value: np.ndarray):
+    """vision/text_token_layer Sequential(LN, Linear, GELU, LN) indices 0/1/3
+    (reference model.py:518-530) -> ln_in / proj / ln_out."""
+    mapping = {
+        "0.weight": ("ln_in", "scale"), "0.bias": ("ln_in", "bias"),
+        "1.weight": ("proj", "kernel"), "1.bias": ("proj", "bias"),
+        "3.weight": ("ln_out", "scale"), "3.bias": ("ln_out", "bias"),
+    }
+    if key not in mapping:
+        return None
+    sub = mapping[key]
+    if key == "1.weight":
+        value = value.T
+    return (prefix,) + sub, value
+
+
+def convert_openclip_state_dict(
+    sd: Dict[str, np.ndarray],
+    *,
+    patch_size: Optional[int] = None,
+) -> Dict:
+    """OpenCLIP/ColXLIP torch state dict -> flax {'params': ...} tree.
+
+    Handles both the flat CLIP text layout (token_embedding at top level) and
+    'text.'-prefixed custom-text layouts.
+    """
+    params: Dict = {}
+    skipped = []
+    for key, value in sd.items():
+        path = None
+        v = value
+        if key.startswith("visual."):
+            k = key[len("visual."):]
+            if k == "conv1.weight":
+                # torch conv [out, in, ph, pw] -> flax dense [(ph pw c), out]
+                out_c = v.shape[0]
+                v = v.transpose(2, 3, 1, 0).reshape(-1, out_c)
+                path = ("visual", "conv1", "kernel")
+            elif k == "class_embedding":
+                path = ("visual", "class_embedding")
+            elif k == "positional_embedding":
+                path = ("visual", "positional_embedding")
+            elif k == "proj":
+                path = ("visual", "proj")
+            elif k in ("ln_pre.weight", "ln_post.weight"):
+                path = ("visual", k.split(".")[0], "scale")
+            elif k in ("ln_pre.bias", "ln_post.bias"):
+                path = ("visual", k.split(".")[0], "bias")
+            else:
+                m = _RESBLOCK_RE.match(k)
+                if m:
+                    conv = _convert_block_param(m.group(2), v)
+                    if conv:
+                        sub, v = conv
+                        path = ("visual", "transformer", f"resblocks_{m.group(1)}") + sub
+        elif key.startswith(("vision_token_layer.", "text_token_layer.")):
+            head, sub = key.split(".", 1)
+            conv = _convert_token_head(head, sub, v)
+            if conv:
+                path, v = conv
+        else:
+            # text side: accept both flat and 'text.'-prefixed layouts
+            k = key[len("text."):] if key.startswith("text.") else key
+            if k == "token_embedding.weight":
+                path = ("text", "token_embedding", "embedding")
+            elif k == "positional_embedding":
+                path = ("text", "positional_embedding")
+            elif k == "text_projection":
+                path = ("text", "text_projection")
+            elif k == "text_projection.weight":
+                path, v = ("text", "text_projection", "kernel"), v.T
+            elif k == "text_projection.bias":
+                path = ("text", "text_projection", "bias")
+            elif k in ("ln_final.weight", "ln_final.bias"):
+                path = ("text", "ln_final", "scale" if k.endswith("weight") else "bias")
+            elif k == "logit_scale":
+                path, v = ("logit_scale",), v.reshape(())
+            elif k == "logit_bias":
+                path, v = ("logit_bias",), v.reshape(())
+            else:
+                m = _RESBLOCK_RE.match(k)
+                if m:
+                    conv = _convert_block_param(m.group(2), v)
+                    if conv:
+                        sub, v = conv
+                        path = ("text", "transformer", f"resblocks_{m.group(1)}") + sub
+        if path is None:
+            skipped.append(key)
+            continue
+        _set(params, path, np.asarray(v, np.float32))
+    if skipped:
+        logger.info("pt import: skipped %d keys (e.g. %s)", len(skipped), skipped[:5])
+    return {"params": params}
+
+
+def resize_vision_pos_embed(params: Dict, new_grid: Tuple[int, int]) -> Dict:
+    """Interpolate visual positional embedding to a new grid (model.py:355-418)."""
+    from ..models.pos_embed import interpolate_pos_embed
+
+    pe = params["params"]["visual"]["positional_embedding"]
+    n = pe.shape[0] - 1
+    old = int(round(n ** 0.5))
+    if (old, old) == tuple(new_grid):
+        return params
+    logger.info("resizing vision pos embed %dx%d -> %dx%d", old, old, *new_grid)
+    new_pe = interpolate_pos_embed(jnp.asarray(pe), tuple(new_grid), (old, old))
+    params["params"]["visual"]["positional_embedding"] = np.asarray(new_pe)
+    return params
+
+
+def load_pt_checkpoint(
+    path: str,
+    *,
+    expected_params: Optional[Dict] = None,
+    grid_size: Optional[Tuple[int, int]] = None,
+) -> Dict:
+    """Full .pt -> flax params pipeline with optional strictness check.
+
+    Non-strict like the reference's ColXLIP load (factory.py:192-197): missing
+    keys (e.g. token heads when importing a plain CLIP checkpoint into
+    ColXLIP) keep their initialized values from ``expected_params``.
+    """
+    sd = load_pt_state_dict(path)
+    params = convert_openclip_state_dict(sd)
+    if grid_size is not None and "visual" in params["params"]:
+        params = resize_vision_pos_embed(params, grid_size)
+    if expected_params is not None:
+        merged = _merge_trees(_to_pure_dict(expected_params), params)
+        return merged
+    return params
+
+
+def _merge_trees(base: Dict, overlay: Dict) -> Dict:
+    out = dict(base)
+    for k, v in overlay.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _merge_trees(out[k], v)
+        else:
+            if k in out and hasattr(out[k], "shape") and out[k].shape != v.shape:
+                raise ValueError(f"shape mismatch for {k}: {out[k].shape} vs {v.shape}")
+            out[k] = v
+    return out

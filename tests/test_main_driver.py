@@ -1,0 +1,47 @@
+"""End-to-end driver test: synthetic training -> checkpoint -> resume -> eval."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from colxlip_tpu.main import main
+
+
+@pytest.mark.slow
+def test_main_synthetic_train_checkpoint_resume(tmp_path):
+    logs = str(tmp_path / "logs")
+    argv = [
+        "--model", "ViT-S-16-test",
+        "--dataset-type", "synthetic",
+        "--train-num-samples", "64",
+        "--batch-size", "2",       # per device; 8 CPU devices -> global 16
+        "--epochs", "2",
+        "--lr", "1e-3",
+        "--warmup", "2",
+        "--precision", "fp32",
+        "--logs", logs,
+        "--name", "synthtest",
+        "--workers", "0",
+        "--log-every-n-steps", "1",
+        "--save-frequency", "1",
+        "--maxsim-impl", "xla",
+        "--seed", "0",
+    ]
+    assert main(argv) == 0
+    ckpt_dir = os.path.join(logs, "synthtest", "checkpoints")
+    assert os.path.isdir(os.path.join(ckpt_dir, "epoch_1"))
+    assert os.path.isdir(os.path.join(ckpt_dir, "epoch_2"))
+    assert os.path.exists(os.path.join(logs, "synthtest", "params.txt"))
+    assert os.path.exists(os.path.join(logs, "synthtest", "out.log"))
+    metrics_path = os.path.join(logs, "synthtest", "metrics.jsonl")
+    assert os.path.exists(metrics_path)
+    records = [json.loads(l) for l in open(metrics_path)]
+    assert all(np.isfinite(r["total_loss"]) for r in records)
+
+    # resume latest: runs remaining epochs without error (epochs=3 -> 1 more)
+    argv_resume = argv.copy()
+    argv_resume[argv.index("--epochs") + 1] = "3"
+    argv_resume += ["--resume", "latest"]
+    assert main(argv_resume) == 0
+    assert os.path.isdir(os.path.join(ckpt_dir, "epoch_3"))

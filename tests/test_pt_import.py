@@ -1,0 +1,142 @@
+""".pt checkpoint import: torch-oracle forward must match flax forward.
+
+This is the SURVEY.md §7.1-stage-1 parity oracle: port WEIGHTS (not code)
+from a torch OpenCLIP-layout checkpoint and match encode_image/encode_text.
+"""
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from colxlip_tpu.models import CLIPCfg, ColXLIP
+from colxlip_tpu.training.checkpoint import (
+    convert_openclip_state_dict,
+    load_pt_checkpoint,
+    load_pt_state_dict,
+)
+
+from torch_oracle import TorchColXLIP
+
+
+@pytest.fixture(scope="module")
+def oracle_and_flax():
+    torch.manual_seed(0)
+    tmodel = TorchColXLIP(image_size=64, patch_size=16, vwidth=128, vlayers=2,
+                          vheads=4, twidth=128, tlayers=2, theads=4,
+                          embed_dim=128, ctx=32)
+    tmodel.eval()
+    cfg = CLIPCfg.from_dict({
+        "embed_dim": 128,
+        "vision_cfg": {"image_size": 64, "layers": 2, "width": 128,
+                       "patch_size": 16, "head_width": 32},
+        "text_cfg": {"context_length": 32, "vocab_size": 49408, "width": 128,
+                     "heads": 4, "layers": 2},
+    })
+    fmodel = ColXLIP(cfg, dtype=jnp.float32)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_openclip_state_dict(sd)
+    params = jax.tree.map(jnp.asarray, params)
+    return tmodel, fmodel, params
+
+
+def _inputs(rng, b=3, ctx=32):
+    imgs = rng.standard_normal((b, 64, 64, 3)).astype(np.float32)
+    txts = np.zeros((b, ctx), np.int32)
+    for i in range(b):
+        txts[i, 0] = 49406
+        txts[i, 1:8] = rng.integers(1, 49000, 7)
+        txts[i, 8 + i] = 49407
+    return imgs, txts
+
+
+def test_all_params_convert(oracle_and_flax):
+    tmodel, fmodel, params = oracle_and_flax
+    # every flax param got a value from the torch state dict
+    imgs, txts = _inputs(np.random.default_rng(0))
+    init_params = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(imgs), jnp.asarray(txts))
+    init_paths = {jax.tree_util.keystr(k) for k, _ in
+                  jax.tree_util.tree_flatten_with_path(init_params)[0]}
+    got_paths = {jax.tree_util.keystr(k) for k, _ in
+                 jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert init_paths == got_paths
+
+
+def test_encode_image_parity(oracle_and_flax, rng):
+    tmodel, fmodel, params = oracle_and_flax
+    imgs, txts = _inputs(rng)
+    with torch.no_grad():
+        t_pooled, t_tokens = tmodel.encode_image(
+            torch.from_numpy(imgs).permute(0, 3, 1, 2), normalize=True
+        )
+    f_pooled, f_tokens = fmodel.apply(
+        params, jnp.asarray(imgs),
+        method=lambda m, image: m.encode_image(image, normalize=True),
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_pooled), t_pooled.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_tokens), t_tokens.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_encode_text_parity(oracle_and_flax, rng):
+    tmodel, fmodel, params = oracle_and_flax
+    imgs, txts = _inputs(rng)
+    with torch.no_grad():
+        t_pooled, t_tokens = tmodel.encode_text(torch.from_numpy(txts).long(), normalize=True)
+    f_pooled, f_tokens = fmodel.apply(
+        params, text=jnp.asarray(txts),
+        method=lambda m, text: m.encode_text(text, normalize=True),
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_pooled), t_pooled.numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_tokens), t_tokens.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_pt_file_roundtrip_with_module_prefix(oracle_and_flax, tmp_path):
+    """Full file path incl. DDP 'module.' prefix stripping + non-strict merge."""
+    tmodel, fmodel, params = oracle_and_flax
+    sd = {f"module.{k}": v for k, v in tmodel.state_dict().items()}
+    path = tmp_path / "ckpt.pt"
+    torch.save({"state_dict": sd, "epoch": 7}, path)
+
+    imgs, txts = _inputs(np.random.default_rng(1))
+    init_params = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(imgs), jnp.asarray(txts))
+    loaded = load_pt_checkpoint(str(path), expected_params=init_params)
+    f_pooled, _ = fmodel.apply(
+        jax.tree.map(jnp.asarray, loaded), jnp.asarray(imgs),
+        method=lambda m, image: m.encode_image(image, normalize=True),
+    )
+    with torch.no_grad():
+        t_pooled, _ = tmodel.encode_image(
+            torch.from_numpy(imgs).permute(0, 3, 1, 2), normalize=True
+        )
+    np.testing.assert_allclose(np.asarray(f_pooled), t_pooled.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_plain_clip_checkpoint_into_colxlip_keeps_token_heads(oracle_and_flax, tmp_path):
+    """Importing a base CLIP checkpoint leaves token heads at init
+    (reference factory.py:318-341 base-weight reuse with strict=False)."""
+    tmodel, fmodel, params = oracle_and_flax
+    sd = {k: v for k, v in tmodel.state_dict().items()
+          if not k.startswith(("vision_token_layer", "text_token_layer"))}
+    path = tmp_path / "base.pt"
+    torch.save(sd, path)
+    imgs, txts = _inputs(np.random.default_rng(2))
+    init_params = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(imgs), jnp.asarray(txts))
+    loaded = load_pt_checkpoint(str(path), expected_params=init_params)
+    # tower weights replaced, token heads untouched
+    got = loaded["params"]["visual"]["proj"]
+    np.testing.assert_allclose(got, tmodel.visual.proj.detach().numpy(), rtol=1e-6)
+    init_head = init_params["params"]["vision_token_layer"]["proj"]["kernel"]
+    np.testing.assert_allclose(
+        loaded["params"]["vision_token_layer"]["proj"]["kernel"], np.asarray(init_head)
+    )

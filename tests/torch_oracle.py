@@ -1,0 +1,139 @@
+"""Minimal torch implementation of the reference architecture, used ONLY as a
+numerics oracle for .pt checkpoint import parity tests.
+
+Written fresh from the reference's documented structure (transformer.py:
+pre-LN blocks with packed in_proj MHA; VisionTransformer conv patchify +
+cls/pos + ln_pre + blocks + ln_post-then-pool + proj; TextTransformer with
+causal mask and argmax(EOT) pooling; ColXLIP token heads model.py:518-530 and
+EOT masking model.py:581-593). State-dict keys follow the OpenCLIP naming so
+``convert_openclip_state_dict`` can be tested against real layouts.
+"""
+import math
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class Block(nn.Module):
+    def __init__(self, d, heads):
+        super().__init__()
+        self.ln_1 = nn.LayerNorm(d)
+        self.attn = nn.MultiheadAttention(d, heads, batch_first=True)
+        self.ln_2 = nn.LayerNorm(d)
+        self.mlp = nn.Sequential()
+        self.mlp.add_module("c_fc", nn.Linear(d, 4 * d))
+        self.mlp.add_module("gelu", nn.GELU())
+        self.mlp.add_module("c_proj", nn.Linear(4 * d, d))
+
+    def forward(self, x, attn_mask=None):
+        y = self.ln_1(x)
+        x = x + self.attn(y, y, y, need_weights=False, attn_mask=attn_mask)[0]
+        x = x + self.mlp(self.ln_2(x))
+        return x
+
+
+class TorchTransformer(nn.Module):
+    def __init__(self, width, layers, heads):
+        super().__init__()
+        self.resblocks = nn.ModuleList([Block(width, heads) for _ in range(layers)])
+
+    def forward(self, x, attn_mask=None):
+        for b in self.resblocks:
+            x = b(x, attn_mask=attn_mask)
+        return x
+
+
+class TorchVisionTower(nn.Module):
+    def __init__(self, image_size, patch_size, width, layers, heads, embed_dim):
+        super().__init__()
+        self.patch_size = patch_size
+        grid = image_size // patch_size
+        self.conv1 = nn.Conv2d(3, width, patch_size, patch_size, bias=False)
+        scale = width ** -0.5
+        self.class_embedding = nn.Parameter(scale * torch.randn(width))
+        self.positional_embedding = nn.Parameter(scale * torch.randn(grid * grid + 1, width))
+        self.ln_pre = nn.LayerNorm(width)
+        self.transformer = TorchTransformer(width, layers, heads)
+        self.ln_post = nn.LayerNorm(width)
+        self.proj = nn.Parameter(scale * torch.randn(width, embed_dim))
+
+    def forward(self, x):
+        x = self.conv1(x)                       # [B, w, g, g]
+        x = x.reshape(x.shape[0], x.shape[1], -1).permute(0, 2, 1)
+        cls = self.class_embedding.expand(x.shape[0], 1, -1)
+        x = torch.cat([cls, x], dim=1) + self.positional_embedding
+        x = self.ln_pre(x)
+        x = self.transformer(x)
+        x = self.ln_post(x)
+        pooled, tokens = x[:, 0], x[:, 1:]
+        pooled = pooled @ self.proj
+        return pooled, tokens
+
+
+class TorchCLIP(nn.Module):
+    def __init__(self, image_size=64, patch_size=16, vwidth=128, vlayers=2,
+                 vheads=4, twidth=128, tlayers=2, theads=4, embed_dim=128,
+                 vocab=49408, ctx=32):
+        super().__init__()
+        self.visual = TorchVisionTower(image_size, patch_size, vwidth, vlayers, vheads, embed_dim)
+        self.token_embedding = nn.Embedding(vocab, twidth)
+        nn.init.normal_(self.token_embedding.weight, std=0.02)
+        self.positional_embedding = nn.Parameter(0.01 * torch.randn(ctx, twidth))
+        self.transformer = TorchTransformer(twidth, tlayers, theads)
+        self.ln_final = nn.LayerNorm(twidth)
+        self.text_projection = nn.Parameter(twidth ** -0.5 * torch.randn(twidth, embed_dim))
+        self.logit_scale = nn.Parameter(torch.tensor(math.log(1 / 0.07)))
+        mask = torch.full((ctx, ctx), float("-inf")).triu_(1)
+        self.register_buffer("attn_mask", mask, persistent=False)
+
+    def encode_text_tokens(self, text):
+        x = self.token_embedding(text) + self.positional_embedding
+        x = self.transformer(x, attn_mask=self.attn_mask)
+        x = self.ln_final(x)
+        pooled = x[torch.arange(x.shape[0]), text.argmax(dim=-1)]
+        pooled = pooled @ self.text_projection
+        return pooled, x
+
+    def forward(self, image, text):
+        img_pooled, img_tokens = self.visual(image)
+        txt_pooled, txt_tokens = self.encode_text_tokens(text)
+        return img_pooled, img_tokens, txt_pooled, txt_tokens
+
+
+class TorchColXLIP(TorchCLIP):
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        vwidth = kw.get("vwidth", 128)
+        twidth = kw.get("twidth", 128)
+        embed_dim = kw.get("embed_dim", 128)
+        self.vision_token_layer = nn.Sequential(
+            nn.LayerNorm(vwidth), nn.Linear(vwidth, embed_dim), nn.GELU(),
+            nn.LayerNorm(embed_dim),
+        )
+        self.text_token_layer = nn.Sequential(
+            nn.LayerNorm(twidth), nn.Linear(twidth, embed_dim), nn.GELU(),
+            nn.LayerNorm(embed_dim),
+        )
+
+    def encode_image(self, image, normalize=True):
+        pooled, tokens = self.visual(image)
+        tokens = self.vision_token_layer(tokens)
+        if normalize:
+            pooled = F.normalize(pooled, dim=-1)
+            tokens = F.normalize(tokens, dim=-1)
+        return pooled, tokens
+
+    def encode_text(self, text, normalize=True):
+        pooled, token_features = self.encode_text_tokens(text)
+        # reference model.py:581-593: zero at/after EOT, BEFORE projection
+        eot = text.argmax(dim=-1)
+        pos = torch.arange(text.shape[1])[None, :]
+        keep = pos < eot[:, None]
+        token_features = torch.where(keep[:, :, None], token_features,
+                                     torch.zeros_like(token_features))
+        token_features = self.text_token_layer(token_features)
+        if normalize:
+            pooled = F.normalize(pooled, dim=-1)
+            token_features = F.normalize(token_features, dim=-1)
+        return pooled, token_features
