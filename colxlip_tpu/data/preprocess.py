@@ -1,0 +1,124 @@
+"""Dataset preparation tooling.
+
+Counterpart of reference preprocess/ (SURVEY.md §2.1 C10):
+  - ``convert_csv_to_parquet``: csv -> parquet (convert_to_parquet.py:1-18)
+  - ``presplit_captions_in_tar`` + ``presplit_captions``: rewrite tar shards
+    splitting the 7 recaption fields into sentence lists, in parallel across
+    shards (presplit_captions.py:1-67)
+  - ``scrape_config``: the img2dataset invocation the reference drives from
+    scraping_cc3m.sh:1-9, emitted as a config dict / CLI string (img2dataset
+    itself is not bundled; zero-egress environments only get the plan)
+"""
+from __future__ import annotations
+
+import io
+import json
+import logging
+import os
+import tarfile
+from concurrent.futures import ProcessPoolExecutor
+from typing import Dict, List, Optional, Sequence
+
+from .captions import CAPTION_KEYS, split_caption
+
+logger = logging.getLogger(__name__)
+
+
+def convert_csv_to_parquet(csv_path: str, parquet_path: Optional[str] = None) -> str:
+    """csv -> parquet (reference preprocess/convert_to_parquet.py)."""
+    import pandas as pd
+
+    if parquet_path is None:
+        parquet_path = os.path.splitext(csv_path)[0] + ".parquet"
+    df = pd.read_csv(csv_path)
+    df.to_parquet(parquet_path, index=False)
+    return parquet_path
+
+
+def presplit_captions_in_tar(
+    tar_path: str,
+    out_path: Optional[str] = None,
+    caption_keys: Sequence[str] = CAPTION_KEYS,
+) -> str:
+    """Rewrite one shard with caption fields sentence-split into lists.
+
+    Reference preprocess/presplit_captions.py:17-49: for each sample's json,
+    every caption key's string value becomes a list of sentences; already-list
+    values are left as-is. Writes ``out_path`` (default: in-place via .tmp).
+    """
+    inplace = out_path is None
+    dst = tar_path + ".tmp" if inplace else out_path
+    with tarfile.open(tar_path, "r") as src, tarfile.open(dst, "w") as out:
+        for member in src:
+            if not member.isfile():
+                continue
+            data = src.extractfile(member).read()
+            if member.name.endswith(".json"):
+                try:
+                    meta = json.loads(data)
+                    for key in caption_keys:
+                        v = meta.get(key)
+                        if isinstance(v, str):
+                            meta[key] = split_caption(v)
+                        elif isinstance(v, list):
+                            meta[key] = [s for c in v for s in (
+                                split_caption(c) if isinstance(c, str) else [c])]
+                    data = json.dumps(meta).encode()
+                except (ValueError, KeyError) as e:
+                    logger.warning("presplit: bad json in %s/%s: %s",
+                                   tar_path, member.name, e)
+            info = tarfile.TarInfo(member.name)
+            info.size = len(data)
+            out.addfile(info, io.BytesIO(data))
+    if inplace:
+        os.replace(dst, tar_path)
+        return tar_path
+    return dst
+
+
+def presplit_captions(
+    tar_paths: Sequence[str],
+    out_dir: Optional[str] = None,
+    num_workers: int = 8,
+) -> List[str]:
+    """Parallel shard rewrite (reference presplit_captions.py:52-67)."""
+    jobs = []
+    for p in tar_paths:
+        out = os.path.join(out_dir, os.path.basename(p)) if out_dir else None
+        jobs.append((p, out))
+    if num_workers <= 1:
+        return [presplit_captions_in_tar(p, o) for p, o in jobs]
+    with ProcessPoolExecutor(max_workers=num_workers) as ex:
+        futures = [ex.submit(presplit_captions_in_tar, p, o) for p, o in jobs]
+        return [f.result() for f in futures]
+
+
+def scrape_config(
+    parquet_path: str,
+    output_dir: str,
+    *,
+    processes: int = 16,
+    thread_count: int = 64,
+    image_size: int = 512,
+    caption_cols: Sequence[str] = CAPTION_KEYS[1:],
+) -> Dict:
+    """The img2dataset scrape plan (reference preprocess/scraping_cc3m.sh:1-9):
+    parquet in, WebDataset tar shards out, preserving the recaption columns."""
+    cfg = {
+        "url_list": parquet_path,
+        "input_format": "parquet",
+        "url_col": "url",
+        "caption_col": "raw_caption",
+        "save_additional_columns": list(caption_cols),
+        "output_format": "webdataset",
+        "output_folder": output_dir,
+        "processes_count": processes,
+        "thread_count": thread_count,
+        "image_size": image_size,
+        "resize_mode": "keep_ratio",
+    }
+    cfg["cli"] = "img2dataset " + " ".join(
+        f"--{k.replace('_', '-')}={v}" for k, v in cfg.items()
+        if k != "cli" and not isinstance(v, list)
+    )
+    return cfg

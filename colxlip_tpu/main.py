@@ -166,15 +166,25 @@ def main(argv=None) -> int:
 
     suites = build_retrieval_suites(args, tokenizer, preprocess_val)
 
+    # zero-shot ImageNet hook (reference train.py:279-281)
+    zero_shot_fn = None
+    if args.imagenet_val:
+        from .training.zero_shot import zero_shot_eval
+
+        def zero_shot_fn(m, p):  # noqa: E306
+            return zero_shot_eval(m, p, tokenizer, preprocess_val,
+                                  args.imagenet_val, batch_size=args.batch_size)
+
     # eval-only mode (reference main.py:390-396)
     if not args.train_data and args.dataset_type != "synthetic":
-        if not suites:
+        if not suites and zero_shot_fn is None:
             logger.error("eval-only mode but no retrieval suites configured")
             return 1
         evaluate(
             model, params, suites, epoch=0, batch_size=args.batch_size,
             scoring=args.eval_scoring, alpha=args.alpha,
             results_file=os.path.join(checkpoint_dir, "results.jsonl"),
+            zero_shot_fn=zero_shot_fn,
         )
         return 0
 
@@ -258,11 +268,16 @@ def main(argv=None) -> int:
             completed_epoch % args.val_frequency == 0 or completed_epoch == args.epochs
         ):
             eval_params = jax.device_get(state.params)
+            zs = zero_shot_fn if (
+                zero_shot_fn is not None
+                and completed_epoch % args.zeroshot_frequency == 0
+            ) else None
             evaluate(
                 model, jax.tree.map(jnp.asarray, eval_params), suites,
                 epoch=completed_epoch, batch_size=args.batch_size,
                 scoring=args.eval_scoring, alpha=args.alpha,
                 results_file=os.path.join(checkpoint_dir, "results.jsonl"),
+                zero_shot_fn=zs,
             )
 
         if is_master and args.save_frequency > 0 and (

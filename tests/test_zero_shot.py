@@ -1,0 +1,84 @@
+"""Zero-shot ImageNet-style eval on a tiny fake class-dir dataset."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from colxlip_tpu.data.tokenizer import SimpleTokenizer
+from colxlip_tpu.data.transforms import image_transform
+from colxlip_tpu.models import ColXLIP, CLIPCfg, get_model_config
+from colxlip_tpu.training.zero_shot import (
+    OPENAI_IMAGENET_TEMPLATES,
+    build_zero_shot_classifier,
+    load_classnames,
+    zero_shot_eval,
+)
+
+
+def test_templates_count():
+    assert len(OPENAI_IMAGENET_TEMPLATES) == 80
+
+
+@pytest.fixture(scope="module")
+def fake_imagenet(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("inet")
+    rng = np.random.default_rng(0)
+    classes = ["class_a", "class_b", "class_c"]
+    for c in classes:
+        (root / c).mkdir()
+        for i in range(2):
+            arr = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(root / c / f"{i}.JPEG")
+    with open(root / "classnames.json", "w") as f:
+        json.dump(["alpha thing", "beta thing", "gamma thing"], f)
+    return str(root)
+
+
+def test_load_classnames_variants(tmp_path):
+    p1 = tmp_path / "a.json"
+    p1.write_text(json.dumps(["x", "y"]))
+    assert load_classnames(str(p1)) == ["x", "y"]
+    p2 = tmp_path / "b.json"
+    p2.write_text(json.dumps({"1": ["n2", "dog"], "0": ["n1", "cat"]}))
+    assert load_classnames(str(p2)) == ["cat", "dog"]
+
+
+def test_zero_shot_eval_runs(fake_imagenet):
+    cfg = CLIPCfg.from_dict(get_model_config("ViT-S-16-test"))
+    model = ColXLIP(cfg, dtype=jnp.float32)
+    tok = SimpleTokenizer(context_length=32)
+    transform = image_transform(64, is_train=False)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+        jnp.asarray(tok(["hello"]))
+    )
+    metrics = zero_shot_eval(
+        model, params, tok, transform, fake_imagenet,
+        batch_size=4, use_simple_templates=True,
+    )
+    assert set(metrics) == {"imagenet-zeroshot-val-top1", "imagenet-zeroshot-val-top5"}
+    assert 0.0 <= metrics["imagenet-zeroshot-val-top1"] <= 1.0
+    # 3 classes -> top5 always hits
+    assert metrics["imagenet-zeroshot-val-top5"] == 1.0
+
+
+def test_classifier_shape(fake_imagenet):
+    cfg = CLIPCfg.from_dict(get_model_config("ViT-S-16-test"))
+    model = ColXLIP(cfg, dtype=jnp.float32)
+    tok = SimpleTokenizer(context_length=32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+        jnp.asarray(tok(["hello"]))
+    )
+    w = build_zero_shot_classifier(
+        model, params, tok, ["a", "b", "c"],
+        templates=OPENAI_IMAGENET_TEMPLATES[:4],
+    )
+    assert w.shape == (cfg.embed_dim, 3)
+    norms = np.linalg.norm(np.asarray(w), axis=0)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-4)
