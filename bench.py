@@ -27,7 +27,10 @@ def main():
     p.add_argument("--baseline", type=float, default=3000.0)
     args = p.parse_args()
 
+    import os
     import jax
+    jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
     from colxlip_tpu.models import ColXLIP, CLIPCfg, get_model_config
@@ -52,18 +55,22 @@ def main():
     texts = jnp.asarray(texts_np)
 
     state = init_train_state(model, tx, jax.random.PRNGKey(0), images[:2], texts[:2])
+    # donate=True: buffer reuse is the real training configuration (and queued
+    # non-donated steps OOM the chip)
     step = make_train_step(
-        model, tx, TrainStepConfig(loss_type=args.loss), donate=False,
+        model, tx, TrainStepConfig(loss_type=args.loss), donate=True,
     )
 
     for _ in range(args.warmup):
         state, metrics = step(state, images, texts)
-    jax.block_until_ready(metrics["total_loss"])
+    jax.block_until_ready(jax.device_get(metrics["total_loss"]))
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = step(state, images, texts)
-    jax.block_until_ready(metrics["total_loss"])
+    # device_get forces full execution of the chained steps (a bare
+    # block_until_ready proved unreliable over the remote-execution relay)
+    jax.device_get(metrics["total_loss"])
     dt = time.perf_counter() - t0
 
     ips = args.steps * b / dt

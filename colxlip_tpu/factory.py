@@ -179,5 +179,6 @@ def create_loss(args) -> TrainStepConfig:
         gather_with_grad=getattr(args, "gather_with_grad", False),
         accum_freq=getattr(args, "accum_freq", 1),
         maxsim_impl=getattr(args, "maxsim_impl", "auto"),
+        ce_impl=getattr(args, "ce_impl", "dense"),
         dist_impl=getattr(args, "dist_impl", None) or "bidir",
     )

@@ -86,9 +86,44 @@ def clip_loss(
     local_loss: bool = False,
     gather_with_grad: bool = False,
     logit_bias: Optional[jnp.ndarray] = None,
+    ce_impl: str = "dense",
     output_dict: bool = False,
 ):
-    """Symmetric InfoNCE (reference loss.py:160-182)."""
+    """Symmetric InfoNCE (reference loss.py:160-182).
+
+    ce_impl='fused' streams the logit matrix through the Pallas fused
+    matmul+logsumexp kernel (ops/fused_ce.py) — O(N*D) memory instead of the
+    O(N^2) dense matrix the reference materializes; required for 32k-global
+    batches. Dense mode reproduces the reference exactly (incl. logit_bias).
+    """
+    if ce_impl == "fused":
+        assert logit_bias is None, "fused CE path does not support logit_bias"
+        from ..ops.fused_ce import fused_contrastive_ce
+
+        if axis_name is not None:
+            all_image, all_text = gather_pair(
+                image_features, text_features,
+                axis_name=axis_name, gather_with_grad=gather_with_grad,
+                local_loss=local_loss,
+            )
+            if local_loss:
+                rows_i, rows_t = image_features, text_features
+                cols_t, cols_i = all_text, all_image
+            else:
+                rows_i, rows_t = all_image, all_text
+                cols_t, cols_i = all_text, all_image
+        else:
+            rows_i, rows_t = image_features, text_features
+            cols_t, cols_i = text_features, image_features
+        labels = contrastive_labels(
+            rows_i.shape[0], axis_name=axis_name, local_loss=local_loss
+        )
+        total = (
+            fused_contrastive_ce(rows_i, cols_t, labels, logit_scale)
+            + fused_contrastive_ce(rows_t, cols_i, labels, logit_scale)
+        ) / 2
+        return {"total_loss": total} if output_dict else total
+
     logits_per_image, logits_per_text = clip_logits(
         image_features, text_features, logit_scale,
         axis_name=axis_name, local_loss=local_loss,

@@ -228,6 +228,7 @@ def main(argv=None) -> int:
         lr_schedule if not args.skip_scheduler else args.lr,
         beta1=args.beta1, beta2=args.beta2, eps=args.eps,
         weight_decay=args.wd, grad_clip_norm=args.grad_clip_norm,
+        lock_image=args.lock_image, lock_text=args.lock_text,
     )
     mesh = create_mesh(model_parallel=args.model_parallel) if num_devices > 1 else None
     loss_cfg = create_loss(args)

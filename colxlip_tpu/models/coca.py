@@ -1,0 +1,222 @@
+"""CoCa model family: attentional pooling + multimodal caption decoder.
+
+Counterparts of the reference's vendored stack:
+  - ``AttentionalPooler``: learned-query cross-attention pooling
+    (transformer.py:169-210; used by VisionTransformer attn_pool paths
+    :717-741)
+  - ``MultimodalTransformer``: causal text self-attention interleaved with
+    cross-attention into image tokens (transformer.py:1104-1211)
+  - ``CoCa``: contrastive towers + caption decoder producing vocabulary
+    logits; its outputs feed ``coca_loss`` (losses/coca.py, reference
+    loss.py:298-340)
+  - the ``embed_cls`` text-tower mode (CLS token appended at the END of the
+    sequence with a pad-aware attention mask, pooling 'last',
+    transformer.py:966-996) lives here as ``CoCaTextTower``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .clip import l2_normalize
+from .configs import CLIPCfg, CLIPTextCfg, CLIPVisionCfg
+from .layers import (
+    AttentionalPooler,
+    LayerNorm,
+    MLP,
+    MultiHeadAttention,
+    Transformer,
+    gelu,
+    quick_gelu,
+)
+from .vision import VisionTransformer
+
+
+@dataclasses.dataclass
+class MultimodalCfg:
+    """Decoder config (reference model.py CoCa MultimodalCfg analog)."""
+    context_length: int = 76
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+
+
+class CrossResidualBlock(nn.Module):
+    """Self-attn (causal) + cross-attn + MLP (transformer.py:1121-1160)."""
+    dim: int
+    heads: int
+    mlp_ratio: float = 4.0
+    act: Callable = gelu
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, visual, mask=None):
+        x = x + MultiHeadAttention(
+            self.dim, self.heads, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="attn",
+        )(LayerNorm(name="ln_1")(x), mask=mask, is_causal=mask is None)
+        x = x + MultiHeadAttention(
+            self.dim, self.heads, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="cross_attn",
+        )(LayerNorm(name="ln_1_kv")(x), kv=visual)
+        x = x + MLP(
+            self.dim, self.mlp_ratio, act=self.act, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="mlp",
+        )(LayerNorm(name="ln_2")(x))
+        return x
+
+
+class MultimodalTransformer(nn.Module):
+    """Caption decoder over text tokens with image cross-attention."""
+    cfg: MultimodalCfg
+    act: Callable = gelu
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, text_embs: jnp.ndarray, image_embs: jnp.ndarray):
+        for i in range(self.cfg.layers):
+            text_embs = CrossResidualBlock(
+                self.cfg.width, self.cfg.heads, self.cfg.mlp_ratio,
+                act=self.act, dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"resblocks_{i}",
+            )(text_embs, image_embs)
+        return LayerNorm(name="ln_final")(text_embs)
+
+
+class CoCaTextTower(nn.Module):
+    """Text tower with CLS appended at the END + pad-aware mask.
+
+    reference transformer.py:966-996 (embed_cls branch): num_pos = ctx + 1,
+    causal mask combined with a mask hiding pad positions, pooling = 'last'
+    (the CLS), ln_final applied AFTER pooling; tokens exclude the CLS.
+    """
+    cfg: CLIPTextCfg
+    embed_dim: int = 512
+    act: Callable = gelu
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, text: jnp.ndarray):
+        cfg = self.cfg
+        b, n = text.shape
+        width = cfg.width
+        num_pos = cfg.context_length + 1
+
+        x = nn.Embed(
+            cfg.vocab_size, width,
+            embedding_init=nn.initializers.normal(stddev=0.02),
+            name="token_embedding", dtype=self.dtype, param_dtype=self.param_dtype,
+        )(text)
+        cls_emb = self.param(
+            "cls_emb", nn.initializers.normal(stddev=0.01), (width,), jnp.float32
+        )
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(cls_emb.astype(self.dtype), (b, 1, width))], axis=1
+        )
+        pos = self.param(
+            "positional_embedding", nn.initializers.normal(stddev=0.01),
+            (num_pos, width), jnp.float32,
+        )
+        seq = n + 1
+        x = x + pos[:seq].astype(self.dtype)
+
+        # additive mask: causal + pad hiding (transformer.py:960-974)
+        causal = jnp.triu(jnp.full((seq, seq), -jnp.inf, jnp.float32), k=1)
+        pad_ok = jnp.concatenate(
+            [text != cfg.pad_id, jnp.ones((b, 1), bool)], axis=1
+        )  # [b, seq]
+        pad_mask = jnp.where(pad_ok[:, None, :], 0.0, -jnp.inf)  # [b, 1(q), seq]
+        mask = causal[None, None] + pad_mask[:, None]  # [b, 1, seq, seq]
+
+        x = Transformer(
+            width=width, layers=cfg.layers, heads=cfg.heads,
+            mlp_ratio=cfg.mlp_ratio, ls_init_value=cfg.ls_init_value,
+            act=self.act, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="transformer",
+        )(x, mask=mask)
+
+        pooled = LayerNorm(name="ln_final")(x[:, -1])
+        tokens = x[:, :-1]
+        if cfg.proj_type != "none" and self.embed_dim:
+            proj = self.param(
+                "text_projection", nn.initializers.normal(stddev=width ** -0.5),
+                (width, self.embed_dim), jnp.float32,
+            )
+            pooled = pooled @ proj.astype(pooled.dtype)
+        return pooled, tokens
+
+
+class CoCa(nn.Module):
+    """Contrastive + captioning model (open_clip CoCa surface).
+
+    forward(image, text) returns the dict coca_loss consumes: contrastive
+    features, caption ``logits`` [B, L-1, vocab] and shifted ``labels``.
+    """
+    cfg: CLIPCfg
+    multimodal_cfg: MultimodalCfg = dataclasses.field(default_factory=MultimodalCfg)
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    def setup(self):
+        act = quick_gelu if self.cfg.quick_gelu else gelu
+        self.visual = VisionTransformer(
+            self.cfg.vision_cfg, embed_dim=self.cfg.embed_dim, act=act,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="visual",
+        )
+        # pools vision-width tokens into multimodal-width query slots
+        # (open_clip: AttentionalPooler(output_dim, vision_width))
+        self.img_attn_pool = AttentionalPooler(
+            self.multimodal_cfg.width, n_head=8, n_queries=256,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="attn_pool",
+        )
+        self.text = CoCaTextTower(
+            self.cfg.text_cfg, embed_dim=self.cfg.embed_dim, act=act,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="text",
+        )
+        self.text_decoder = MultimodalTransformer(
+            self.multimodal_cfg, act=act, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="text_decoder",
+        )
+        self.logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(self.cfg.init_logit_scale),
+            (), jnp.float32,
+        )
+        self.to_logits = nn.Dense(
+            self.cfg.text_cfg.vocab_size, use_bias=False, name="to_logits",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )
+
+    def encode_image(self, image, normalize: bool = True):
+        pooled, tokens = self.visual(image)
+        return (l2_normalize(pooled) if normalize else pooled), tokens
+
+    def encode_text(self, text, normalize: bool = True):
+        pooled, tokens = self.text(text)
+        return (l2_normalize(pooled) if normalize else pooled), tokens
+
+    def __call__(self, image, text, train: bool = False):
+        image_features, image_tokens = self.encode_image(image)
+        # caption path conditions on the attn-pooled image token set
+        image_embs = self.img_attn_pool(image_tokens)
+        # decoder consumes text minus the last position; labels are text
+        # shifted left (standard teacher forcing)
+        text_features, text_tokens = self.encode_text(text)
+        dec_in = text_tokens[:, :-1]
+        dec = self.text_decoder(dec_in, image_embs)
+        logits = self.to_logits(dec)
+        return {
+            "image_features": image_features,
+            "text_features": text_features,
+            "logits": logits,
+            "labels": text[:, 1:],
+            "logit_scale": jnp.exp(self.logit_scale),
+        }

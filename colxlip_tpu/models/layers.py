@@ -131,17 +131,30 @@ class MultiHeadAttention(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, mask: Optional[jnp.ndarray] = None, is_causal: bool = False):
+    def __call__(self, x, *, kv: Optional[jnp.ndarray] = None,
+                 mask: Optional[jnp.ndarray] = None, is_causal: bool = False):
         b, n, d = x.shape
         assert d == self.dim
         head_dim = self.dim // self.heads
-        qkv = nn.Dense(
-            3 * self.dim, name="in_proj", dtype=self.dtype, param_dtype=self.param_dtype
-        )(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if kv is None:
+            qkv = nn.Dense(
+                3 * self.dim, name="in_proj", dtype=self.dtype, param_dtype=self.param_dtype
+            )(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            m = n
+        else:
+            # cross-attention: separate projections (torch MultiheadAttention
+            # with kdim/vdim uses q/k/v_proj_weight; names mirror that)
+            m = kv.shape[1]
+            q = nn.Dense(self.dim, name="q_proj", dtype=self.dtype,
+                         param_dtype=self.param_dtype)(x)
+            k = nn.Dense(self.dim, name="k_proj", dtype=self.dtype,
+                         param_dtype=self.param_dtype)(kv)
+            v = nn.Dense(self.dim, name="v_proj", dtype=self.dtype,
+                         param_dtype=self.param_dtype)(kv)
         q = q.reshape(b, n, self.heads, head_dim)
-        k = k.reshape(b, n, self.heads, head_dim)
-        v = v.reshape(b, n, self.heads, head_dim)
+        k = k.reshape(b, m, self.heads, head_dim)
+        v = v.reshape(b, m, self.heads, head_dim)
         out = jax.nn.dot_product_attention(
             q, k, v, bias=mask, is_causal=is_causal and mask is None
         )
@@ -211,3 +224,29 @@ class Transformer(nn.Module):
             )
             x = block(x, mask, is_causal)
         return x
+
+
+class AttentionalPooler(nn.Module):
+    """n_queries learned queries cross-attend into a feature sequence
+    (reference transformer.py:169-210; kv may have a different width)."""
+    d_model: int
+    n_head: int = 8
+    n_queries: int = 256
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b = x.shape[0]
+        query = self.param(
+            "query", nn.initializers.normal(stddev=self.d_model ** -0.5),
+            (self.n_queries, self.d_model), jnp.float32,
+        )
+        x = LayerNorm(name="ln_k")(x)
+        q = LayerNorm(name="ln_q")(query.astype(self.dtype)[None])
+        q = jnp.broadcast_to(q, (b, self.n_queries, self.d_model))
+        out = MultiHeadAttention(
+            self.d_model, self.n_head, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="attn",
+        )(q, kv=x)
+        return out

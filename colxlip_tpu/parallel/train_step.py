@@ -52,6 +52,7 @@ class TrainStepConfig:
     gather_with_grad: bool = False
     accum_freq: int = 1
     maxsim_impl: str = "auto"
+    ce_impl: str = "dense"          # 'fused' = Pallas streaming logsumexp CE
     mask_mode: str = "nonzero"
     dist_impl: str = "bidir"              # siglip negative exchange
     clamp_logit_scale: bool = True
@@ -74,7 +75,7 @@ def compute_loss(out: Dict[str, jnp.ndarray], cfg: TrainStepConfig,
             out["image_features"], out["text_features"], out["logit_scale"],
             axis_name=axis_name, local_loss=cfg.local_loss,
             gather_with_grad=cfg.gather_with_grad,
-            logit_bias=out.get("logit_bias"),
+            logit_bias=out.get("logit_bias"), ce_impl=cfg.ce_impl,
         )
         return {"total_loss": total}
     if cfg.loss_type == "siglip":

@@ -141,6 +141,9 @@ def parse_args(args=None) -> argparse.Namespace:
                         choices=[None, "bidir", "shift", "reduce", "gather"])
     parser.add_argument("--maxsim-impl", type=str, default="auto",
                         choices=["auto", "xla", "chunked", "pallas"])
+    parser.add_argument("--ce-impl", type=str, default="dense",
+                        choices=["dense", "fused"],
+                        help="fused = Pallas streaming logsumexp CE (no NxN logits)")
     parser.add_argument("--eval-scoring", type=str, default="global",
                         choices=["global", "maxsim", "mixed"])
 

@@ -31,6 +31,19 @@ def decay_mask(params):
     return flat
 
 
+def freeze_mask(params, frozen_prefixes: tuple):
+    """True where the parameter is trainable; False under a frozen tower.
+
+    The TPU-native analog of the reference's ``--lock-image``/``--lock-text``
+    (requires_grad=False over a tower, transformer.py:630-664 lock()): frozen
+    subtrees get zeroed updates, so they stay at their loaded values.
+    """
+    def trainable(path, leaf):
+        names = [getattr(k, "key", str(k)) for k in path]
+        return not any(p in names for p in frozen_prefixes)
+    return jax.tree_util.tree_map_with_path(trainable, params)
+
+
 def create_optimizer(
     learning_rate: Union[float, Callable],
     *,
@@ -39,6 +52,8 @@ def create_optimizer(
     eps: float = 1e-6,
     weight_decay: float = 0.2,
     grad_clip_norm: Optional[float] = None,
+    lock_image: bool = False,
+    lock_text: bool = False,
 ) -> optax.GradientTransformation:
     tx = optax.adamw(
         learning_rate=learning_rate,
@@ -50,4 +65,13 @@ def create_optimizer(
     )
     if grad_clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+    frozen = tuple(
+        p for p, on in (("visual", lock_image), ("text", lock_text)) if on
+    )
+    if frozen:
+        tx = optax.chain(
+            tx, optax.masked(optax.set_to_zero(),
+                             lambda params: jax.tree.map(
+                                 lambda x: not x, freeze_mask(params, frozen))),
+        )
     return tx

@@ -1,0 +1,110 @@
+"""CoCa model family tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from colxlip_tpu.losses import coca_loss
+from colxlip_tpu.models import CLIPCfg, get_model_config
+from colxlip_tpu.models.coca import CoCa, CoCaTextTower, MultimodalCfg
+from colxlip_tpu.models.layers import AttentionalPooler
+
+CTX = 32
+
+
+@pytest.fixture(scope="module")
+def coca_setup():
+    cfg = CLIPCfg.from_dict(get_model_config("ViT-S-16-test"))
+    model = CoCa(
+        cfg,
+        MultimodalCfg(context_length=CTX - 1, width=128, heads=4, layers=2),
+        dtype=jnp.float32,
+    )
+    img = jnp.ones((2, 64, 64, 3)) * 0.1
+    txt = (
+        jnp.zeros((2, CTX), jnp.int32)
+        .at[:, 0].set(49406).at[:, 1:5].set(777).at[:, 5].set(49407)
+    )
+    params = model.init(jax.random.PRNGKey(0), img, txt)
+    return model, params, img, txt, cfg
+
+
+def test_coca_forward_shapes(coca_setup):
+    model, params, img, txt, cfg = coca_setup
+    out = model.apply(params, img, txt)
+    assert out["image_features"].shape == (2, cfg.embed_dim)
+    assert out["text_features"].shape == (2, cfg.embed_dim)
+    assert out["logits"].shape == (2, CTX - 1, cfg.text_cfg.vocab_size)
+    assert out["labels"].shape == (2, CTX - 1)
+
+
+def test_coca_loss_finite_and_decreases(coca_setup):
+    import optax
+
+    model, params, img, txt, cfg = coca_setup
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            out = model.apply(p, img, txt)
+            d = coca_loss(
+                out["image_features"], out["text_features"], out["logits"],
+                out["labels"], out["logit_scale"], output_dict=True,
+            )
+            return d["contrastive_loss"] + d["caption_loss"], d
+        (loss, d), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_caption_logits_are_causal(coca_setup):
+    """Changing a LATER text token must not change earlier caption logits."""
+    model, params, img, txt, _ = coca_setup
+    out1 = model.apply(params, img, txt)
+    txt2 = np.asarray(txt).copy()
+    txt2[:, 4] = 1234  # position 4; logits at positions < 3 must not move
+    out2 = model.apply(params, img, jnp.asarray(txt2))
+    np.testing.assert_allclose(
+        np.asarray(out1["logits"][:, :3]), np.asarray(out2["logits"][:, :3]),
+        rtol=1e-4, atol=1e-5,
+    )
+    assert not np.allclose(
+        np.asarray(out1["logits"][:, 4]), np.asarray(out2["logits"][:, 4]), atol=1e-3
+    )
+
+
+def test_attentional_pooler_shapes():
+    pool = AttentionalPooler(d_model=64, n_head=4, n_queries=16, dtype=jnp.float32)
+    x = jnp.ones((3, 25, 96))  # kv width differs from d_model
+    params = pool.init(jax.random.PRNGKey(0), x)
+    out = pool.apply(params, x)
+    assert out.shape == (3, 16, 64)
+
+
+def test_coca_text_tower_pad_mask():
+    """Pad tokens after EOT must not influence the pooled CLS feature."""
+    from colxlip_tpu.models.configs import CLIPTextCfg
+
+    cfg = CLIPTextCfg(context_length=CTX, width=64, heads=4, layers=2)
+    tower = CoCaTextTower(cfg, embed_dim=64, dtype=jnp.float32)
+    txt = (
+        np.zeros((1, CTX), np.int32)
+    )
+    txt[0, 0] = 49406
+    txt[0, 1:4] = 555
+    txt[0, 4] = 49407
+    params = tower.init(jax.random.PRNGKey(0), jnp.asarray(txt))
+    p1, _ = tower.apply(params, jnp.asarray(txt))
+    txt2 = txt.copy()
+    txt2[0, 10] = 0  # already pad — no-op sanity
+    p2, _ = tower.apply(params, jnp.asarray(txt2))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5)
