@@ -18,7 +18,7 @@ import time
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="ViT-B-16-colxlip")
-    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--loss", default="clip", choices=["clip", "colclip", "siglip"])
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)

@@ -1,0 +1,124 @@
+"""GSPMD train step: jit-only sharding with optional tensor parallelism.
+
+The idiomatic-XLA alternative to the explicit shard_map step
+(parallel/train_step.py). Here the step is written with SINGLE-DEVICE
+semantics over the GLOBAL batch; ``jit`` + ``NamedSharding`` annotations
+partition it over the mesh and XLA inserts every collective:
+
+  - batch axis sharded over 'data' (the reference's DDP, SURVEY.md §2.3)
+  - Megatron-style weight sharding over 'model' (optional): QKV/c_fc kernels
+    column-sharded, out_proj/c_proj row-sharded, embeddings/LN replicated —
+    the "TP comes nearly free under pjit" item of SURVEY.md §2.3
+  - the contrastive loss is computed on the global feature arrays; GSPMD
+    shards the N x N logits and emits the all-gathers over ICI on its own
+    (equivalent to the reference's full-mode gather_with_grad semantics;
+    for the stop-gradient gather or explicit ring variants use the
+    shard_map step)
+
+``partition_params`` produces the PartitionSpec tree; everything else is a
+thin jit wrapper.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS, MODEL_AXIS
+from .train_step import TrainState, TrainStepConfig, _clamp_logit_scale, compute_loss, optax_global_norm
+
+
+def _spec_for(path_names, leaf, model_axis: Optional[str]) -> P:
+    """Megatron sharding rules keyed on the param-tree naming."""
+    if model_axis is None or leaf.ndim < 2:
+        return P()
+    name = path_names[-1]
+    parent = path_names[-2] if len(path_names) >= 2 else ""
+    # column-parallel: activations gain a sharded feature dim
+    if parent in ("in_proj", "c_fc", "q_proj", "k_proj", "v_proj") and name == "kernel":
+        return P(None, model_axis)
+    # row-parallel: contraction over the sharded dim, psum after
+    if parent in ("out_proj", "c_proj") and name == "kernel":
+        return P(model_axis, None)
+    return P()
+
+
+def partition_params(params, mesh: Mesh):
+    """PartitionSpec tree for the model params over the mesh."""
+    model_axis = MODEL_AXIS if MODEL_AXIS in mesh.axis_names else None
+
+    def spec(path, leaf):
+        names = [getattr(k, "key", str(k)) for k in path]
+        return _spec_for(names, leaf, model_axis)
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_state(state: TrainState, mesh: Mesh) -> Tuple[TrainState, Any]:
+    """Place params/opt state on the mesh per the partition rules.
+
+    The adam moments in opt_state are param-shaped; they get the matching
+    param's spec (matched by shape — optax state trees are not structurally
+    identical to the param tree), everything else is replicated.
+    """
+    param_specs = partition_params(state.params, mesh)
+
+    def place(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    new_params = jax.tree.map(place, state.params, param_specs)
+
+    shapes_to_spec = {}
+    for p, s in zip(jax.tree.leaves(state.params), jax.tree.leaves(param_specs)):
+        shapes_to_spec.setdefault(p.shape, s)
+
+    def place_opt_leaf(x):
+        spec = shapes_to_spec.get(getattr(x, "shape", None), P())
+        return place(x, spec)
+
+    new_opt = jax.tree.map(place_opt_leaf, state.opt_state)
+    return TrainState(place(state.step, P()), new_params, new_opt), param_specs
+
+
+def make_train_step_gspmd(
+    model,
+    tx,
+    cfg: TrainStepConfig,
+    mesh: Mesh,
+    donate: bool = True,
+):
+    """fn(state, images, texts) -> (state, metrics), GSPMD-partitioned.
+
+    The loss runs with axis_name=None on global arrays — full-mode
+    gather-with-grad semantics; XLA inserts the collectives.
+    """
+
+    def step(state: TrainState, images, texts):
+        images = jax.lax.with_sharding_constraint(
+            images, NamedSharding(mesh, P(DATA_AXIS))
+        )
+        texts = jax.lax.with_sharding_constraint(
+            texts, NamedSharding(mesh, P(DATA_AXIS))
+        )
+
+        def loss_fn(params):
+            out = model.apply(params, images, texts, train=True)
+            losses = compute_loss(out, cfg, None)
+            return losses["total_loss"], (losses, out["logit_scale"])
+
+        (_, (losses, logit_scale)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        if cfg.clamp_logit_scale:
+            new_params = _clamp_logit_scale(new_params)
+        metrics = dict(losses)
+        metrics["logit_scale"] = logit_scale
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return TrainState(state.step + 1, new_params, new_opt_state), metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

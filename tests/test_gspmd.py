@@ -1,0 +1,82 @@
+"""GSPMD train step: DP and DP x TP meshes must match single-device results."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from colxlip_tpu.models import ColXLIP, CLIPCfg, get_model_config
+from colxlip_tpu.parallel.gspmd import make_train_step_gspmd, partition_params, shard_state
+from colxlip_tpu.parallel.mesh import create_mesh
+from colxlip_tpu.parallel.train_step import (
+    TrainStepConfig,
+    init_train_state,
+    make_train_step,
+)
+from colxlip_tpu.training.optim import create_optimizer
+from colxlip_tpu.training.schedules import cosine_lr
+
+B = 16
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = CLIPCfg.from_dict(get_model_config("ViT-S-16-test"))
+    model = ColXLIP(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.standard_normal((B, 64, 64, 3)).astype(np.float32))
+    txts = np.zeros((B, 32), np.int32)
+    txts[:, 0] = 49406
+    txts[:, 1:6] = rng.integers(1, 40000, (B, 5))
+    txts[:, 6] = 49407
+    tx = create_optimizer(cosine_lr(1e-3, 10, 100), weight_decay=0.1)
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), imgs[:2], jnp.asarray(txts[:2]))
+    return model, tx, state, imgs, jnp.asarray(txts)
+
+
+def test_partition_rules(setup):
+    model, tx, state, imgs, txts = setup
+    mesh = create_mesh(8, model_parallel=4)
+    specs = partition_params(state.params, mesh)
+    p = specs["params"]["visual"]["transformer"]["resblocks_0"]
+    assert p["attn"]["in_proj"]["kernel"] == P(None, "model")
+    assert p["attn"]["out_proj"]["kernel"] == P("model", None)
+    assert p["mlp"]["c_fc"]["kernel"] == P(None, "model")
+    assert p["mlp"]["c_proj"]["kernel"] == P("model", None)
+    assert specs["params"]["logit_scale"] == P()
+    assert specs["params"]["visual"]["ln_pre"]["scale"] == P()
+
+
+@pytest.mark.parametrize("model_parallel", [1, 4])
+def test_gspmd_step_matches_single_device(setup, model_parallel):
+    model, tx, state, imgs, txts = setup
+    cfg = TrainStepConfig(loss_type="colclip", maxsim_impl="xla")
+
+    s1, m1 = make_train_step(model, tx, cfg, donate=False)(state, imgs, txts)
+
+    mesh = create_mesh(8, model_parallel=model_parallel)
+    sharded, _ = shard_state(state, mesh)
+    stepN = make_train_step_gspmd(model, tx, cfg, mesh, donate=False)
+    with jax.sharding.set_mesh(mesh):
+        sN, mN = stepN(sharded, imgs, txts)
+
+    np.testing.assert_allclose(
+        float(m1["total_loss"]), float(mN["total_loss"]), rtol=1e-4
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(sN.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-3, atol=3e-5)
+
+
+def test_gspmd_loss_decreases_on_tp_mesh(setup):
+    model, tx, state, imgs, txts = setup
+    cfg = TrainStepConfig(loss_type="clip")
+    mesh = create_mesh(8, model_parallel=2)
+    sharded, _ = shard_state(state, mesh)
+    step = make_train_step_gspmd(model, tx, cfg, mesh, donate=False)
+    losses = []
+    with jax.sharding.set_mesh(mesh):
+        for _ in range(4):
+            sharded, m = step(sharded, imgs, txts)
+            losses.append(float(m["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
