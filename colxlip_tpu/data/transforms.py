@@ -63,17 +63,20 @@ def _normalize(arr: np.ndarray, mean, std) -> np.ndarray:
     return (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
 
 
-def random_resized_crop(
-    img: Image.Image,
-    size: Tuple[int, int],
+def sample_rrc_box(
+    w: int,
+    h: int,
     scale=(0.9, 1.0),
     ratio=(3 / 4, 4 / 3),
-    interpolation=Image.BICUBIC,
     rng: Optional[random.Random] = None,
-) -> Image.Image:
-    """torchvision RandomResizedCrop semantics (10 tries then center fallback)."""
+) -> Tuple[int, int, int, int]:
+    """Draw a RandomResizedCrop box (x, y, cw, ch) in image coordinates.
+
+    torchvision semantics: 10 rejection-sampling tries, then a center crop
+    clamped to the aspect range. Shared by the PIL path and the native C++
+    decoder (which receives the box and does decode+crop+resize fused).
+    """
     rng = rng or random
-    w, h = img.size
     area = w * h
     log_ratio = (np.log(ratio[0]), np.log(ratio[1]))
     for _ in range(10):
@@ -84,8 +87,7 @@ def random_resized_crop(
         if 0 < cw <= w and 0 < ch <= h:
             x = rng.randint(0, w - cw)
             y = rng.randint(0, h - ch)
-            return img.resize(size[::-1], interpolation, box=(x, y, x + cw, y + ch))
-    # fallback: center crop to in-range aspect
+            return x, y, cw, ch
     in_ratio = w / h
     if in_ratio < ratio[0]:
         cw, ch = w, int(round(w / ratio[0]))
@@ -93,7 +95,20 @@ def random_resized_crop(
         cw, ch = int(round(h * ratio[1])), h
     else:
         cw, ch = w, h
-    x, y = (w - cw) // 2, (h - ch) // 2
+    return (w - cw) // 2, (h - ch) // 2, cw, ch
+
+
+def random_resized_crop(
+    img: Image.Image,
+    size: Tuple[int, int],
+    scale=(0.9, 1.0),
+    ratio=(3 / 4, 4 / 3),
+    interpolation=Image.BICUBIC,
+    rng: Optional[random.Random] = None,
+) -> Image.Image:
+    """torchvision RandomResizedCrop semantics (10 tries then center fallback)."""
+    w, h = img.size
+    x, y, cw, ch = sample_rrc_box(w, h, scale, ratio, rng)
     return img.resize(size[::-1], interpolation, box=(x, y, x + cw, y + ch))
 
 

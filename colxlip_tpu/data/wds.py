@@ -274,6 +274,8 @@ class WdsConfig:
     caption_key: str = "json"               # 'json' diverse captions | 'txt'
     rank: int = 0
     world_size: int = 1
+    native_decode: bool = False             # fused C++ JPEG decode+crop+resize
+    decode_threads: int = 8
 
 
 def _round_num_batches(num_samples: int, batch_size: int, world_size: int,
@@ -329,26 +331,56 @@ class WdsTrainPipeline:
             worker_id=worker_id, num_workers=cfg.num_workers,
         ))
 
-    def _process_sample(self, sample: Dict[str, bytes], rng: random.Random):
+    def _tokenize(self, sample: Dict[str, bytes], rng: random.Random):
         cfg = self.cfg
-        img = decode_image(sample)
-        img_arr = self.transform(img)
         if cfg.caption_key == "json":
             meta = json.loads(sample["json"])
-            texts = sample_and_tokenize(
+            return sample_and_tokenize(
                 meta, self.tokenizer, k=cfg.num_sampled_captions,
                 max_merged_num=cfg.max_merged_num, pixelprose=cfg.pixelprose,
                 rng=rng,
             )
+        caption = sample["txt"].decode("utf-8", errors="replace")
+        return self.tokenizer([caption] * cfg.num_sampled_captions)
+
+    def _process_sample_native(self, sample: Dict[str, bytes], rng: random.Random):
+        """Return (jpeg_bytes, crop_box, tokens) for the fused C++ decoder.
+
+        Falls back to the PIL path for non-JPEG images or unreadable headers.
+        """
+        from .. import native
+        from .transforms import sample_rrc_box
+
+        data = sample.get("jpg") or sample.get("jpeg")
+        if data is None:
+            return self._process_sample(sample, rng)
+        info = native.jpeg_info(data)
+        if info is None:
+            return self._process_sample(sample, rng)
+        w, h = info
+        aug = getattr(self.transform, "aug", None)
+        if self.transform.is_train and aug is not None:
+            box = sample_rrc_box(w, h, aug.scale, aug.ratio, rng)
         else:
-            caption = sample["txt"].decode("utf-8", errors="replace")
-            texts = self.tokenizer([caption] * cfg.num_sampled_captions)
+            box = None
+        return ("__raw__", data, box, self._tokenize(sample, rng))
+
+    def _process_sample(self, sample: Dict[str, bytes], rng: random.Random):
+        cfg = self.cfg
+        img = decode_image(sample)
+        img_arr = self.transform(img)
+        texts = self._tokenize(sample, rng)
         return img_arr, texts
 
     def _worker_loop(self, worker_id: int, epoch: int, out_q: "queue.Queue",
                      stop: threading.Event) -> None:
         cfg = self.cfg
         rng = random.Random((cfg.seed, epoch, cfg.rank, worker_id).__hash__())
+        process = self._process_sample
+        if cfg.native_decode:
+            from .. import native
+            if native.available():
+                process = self._process_sample_native
         filt = has_image_and_json if cfg.caption_key == "json" else has_image_and_txt
         try:
             shards = self._worker_shards(worker_id, epoch)
@@ -365,7 +397,7 @@ class WdsTrainPipeline:
                 if stop.is_set():
                     return
                 try:
-                    item = self._process_sample(s, rng)
+                    item = process(s, rng)
                 except Exception as exn:
                     log_and_continue(exn)
                     continue
@@ -381,6 +413,37 @@ class WdsTrainPipeline:
             out_q.put(None)  # worker-done sentinel
 
     # -- consumer side -------------------------------------------------------
+
+    def _assemble_batch(self, items):
+        """Stack a batch; fused-native items are decoded in one C++ call."""
+        cfg = self.cfg
+        txts = np.stack([it[-1] for it in items])
+        raw_idx = [i for i, it in enumerate(items)
+                   if isinstance(it[0], str) and it[0] == "__raw__"]
+        if not raw_idx:
+            return np.stack([it[0] for it in items]), txts
+        from .. import native
+
+        pcfg = self.transform.cfg
+        out_h, out_w = pcfg.size_hw
+        jpegs = [items[i][1] for i in raw_idx]
+        boxes = [items[i][2] for i in raw_idx]
+        crops = None
+        if boxes[0] is not None:
+            crops = np.asarray(boxes, np.int32)
+        decoded, failures = native.process_batch(
+            jpegs, (out_h, out_w), pcfg.mean, pcfg.std,
+            crops=crops, num_threads=cfg.decode_threads,
+        )
+        if failures:
+            logger.warning("native decode: %d failed samples zeroed", failures)
+        imgs = np.zeros((len(items), out_h, out_w, 3), np.float32)
+        for j, i in enumerate(raw_idx):
+            imgs[i] = decoded[j]
+        for i, it in enumerate(items):
+            if not (isinstance(it[0], str) and it[0] == "__raw__"):
+                imgs[i] = it[0]
+        return imgs, txts
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         cfg = self.cfg
@@ -399,19 +462,17 @@ class WdsTrainPipeline:
 
         produced_batches = 0
         done_workers = 0
-        imgs: List[np.ndarray] = []
-        txts: List[np.ndarray] = []
+        items: List = []
         try:
             while done_workers < num_workers:
                 item = out_q.get()
                 if item is None:
                     done_workers += 1
                     continue
-                imgs.append(item[0])
-                txts.append(item[1])
-                if len(imgs) == cfg.batch_size:
-                    yield np.stack(imgs), np.stack(txts)
-                    imgs, txts = [], []
+                items.append(item)
+                if len(items) == cfg.batch_size:
+                    yield self._assemble_batch(items)
+                    items = []
                     produced_batches += 1
                     if self.num_batches is not None and produced_batches >= self.num_batches:
                         return

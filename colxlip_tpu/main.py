@@ -214,6 +214,8 @@ def main(argv=None) -> int:
             num_sampled_captions=args.num_sampled_captions,
             max_merged_num=args.max_merged_num,
             pixelprose=args.pixelprose,
+            native_decode=args.native_decode,
+            decode_threads=args.decode_threads,
             rank=jax.process_index(),
             world_size=jax.process_count(),
         )

@@ -1,0 +1,135 @@
+"""ctypes bindings for the native C++ data-loader core.
+
+Compiles ``dataloader.cc`` on first use (g++, cached by source hash — no
+pybind11 in this image, so the ABI is plain C + ctypes). Falls back cleanly:
+``available()`` is False when no compiler/libjpeg exists and callers use the
+PIL path instead.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import subprocess
+import tempfile
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SRC = os.path.join(os.path.dirname(__file__), "dataloader.cc")
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+
+def _build_lib() -> Optional[ctypes.CDLL]:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.environ.get(
+        "COLXLIP_NATIVE_CACHE", os.path.join(tempfile.gettempdir(), "colxlip_native")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, f"dataloader_{digest}.so")
+    if not os.path.exists(so_path):
+        tmp = so_path + f".tmp{os.getpid()}"
+        cmd = [
+            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            _SRC, "-o", tmp, "-ljpeg", "-pthread",
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        except (OSError, subprocess.SubprocessError) as e:
+            stderr = getattr(e, "stderr", b"") or b""
+            logger.warning("native dataloader build failed: %s %s", e, stderr.decode()[:400])
+            return None
+        os.replace(tmp, so_path)
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError as e:
+        logger.warning("native dataloader load failed: %s", e)
+        return None
+
+    lib.cx_jpeg_info.restype = ctypes.c_int
+    lib.cx_jpeg_info.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.cx_process_batch.restype = ctypes.c_int
+    lib.cx_process_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+    ]
+    return lib
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    with _LOCK:
+        if _LIB is None and not _TRIED:
+            _LIB = _build_lib()
+            _TRIED = True
+    return _LIB
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def jpeg_info(data: bytes) -> Optional[Tuple[int, int]]:
+    lib = _get_lib()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.cx_jpeg_info(data, len(data), ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    return w.value, h.value
+
+
+def process_batch(
+    jpegs: Sequence[bytes],
+    out_size: Tuple[int, int],
+    mean: Sequence[float],
+    std: Sequence[float],
+    crops: Optional[np.ndarray] = None,
+    num_threads: int = 8,
+) -> Tuple[np.ndarray, int]:
+    """Decode+transform a batch of JPEG byte strings.
+
+    crops: int32 [n, 4] (x, y, w, h) boxes in original image coords for
+    RandomResizedCrop (drawn by the Python caller), or None for eval-style
+    resize-shortest + center-crop.
+
+    Returns (float32 [n, H, W, 3], num_failures) — failed slots are zeroed.
+    """
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native dataloader unavailable")
+    n = len(jpegs)
+    out_h, out_w = out_size
+    out = np.empty((n, out_h, out_w, 3), np.float32)
+    arr_ptr = (ctypes.c_char_p * n)(*jpegs)
+    len_arr = (ctypes.c_size_t * n)(*[len(b) for b in jpegs])
+    mean_arr = (ctypes.c_float * 3)(*[float(m) for m in mean])
+    std_arr = (ctypes.c_float * 3)(*[float(s) for s in std])
+    crops_ptr = None
+    if crops is not None:
+        crops = np.ascontiguousarray(crops, np.int32)
+        assert crops.shape == (n, 4)
+        crops_ptr = crops.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+    failures = lib.cx_process_batch(
+        arr_ptr, len_arr, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out_h, out_w,
+        crops_ptr, mean_arr, std_arr, num_threads,
+    )
+    return out, int(failures)

@@ -51,6 +51,9 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--max-merged-num", type=int, default=3)
     parser.add_argument("--caption-sampling-mode", type=str, default="diverse_sampling")
     parser.add_argument("--pixelprose", default=False, action="store_true")
+    parser.add_argument("--native-decode", default=False, action="store_true",
+                        help="fused C++ JPEG decode+crop+resize loader core")
+    parser.add_argument("--decode-threads", type=int, default=8)
 
     # retrieval eval suites (reference params.py retrieval dirs)
     parser.add_argument("--retrieval-coco", default=False, action="store_true")
