@@ -180,5 +180,6 @@ def create_loss(args) -> TrainStepConfig:
         accum_freq=getattr(args, "accum_freq", 1),
         maxsim_impl=getattr(args, "maxsim_impl", "auto"),
         ce_impl=getattr(args, "ce_impl", "dense"),
+        token_dist=getattr(args, "token_dist", "gather"),
         dist_impl=getattr(args, "dist_impl", None) or "bidir",
     )

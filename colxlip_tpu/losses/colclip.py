@@ -24,9 +24,54 @@ from typing import Optional
 
 import jax.numpy as jnp
 
+import jax
+
 from ..ops.maxsim import maxsim
 from ..parallel.collectives import gather_features, gather_pair
 from .clip import contrastive_labels, cross_entropy_with_integer_labels, _matmul_t
+
+
+def _ring_shift(x, axis_name):
+    """Receive the neighbor's block from rank-1 (ring, +1 direction)."""
+    n = jax.lax.axis_size(axis_name)
+    return jax.lax.ppermute(x, axis_name, [(i, (i + 1) % n) for i in range(n)])
+
+
+def _ring_maxsim_rows(
+    token_q, token_k_local, axis_name, *, transpose: bool,
+    maxsim_impl: str, mask_mode: str,
+):
+    """[b_q, N_global] MaxSim rows computed blockwise over a ppermute ring.
+
+    TPU-native generalization of the reference's SigLIP ring negatives
+    (loss.py:382-467) to the token loss: instead of all-gathering every
+    device's token tensors (O(N * L * D) HBM — impossible at 32k global
+    batch), key blocks rotate around the ICI ring and each device only ever
+    holds one remote block. AD through ppermute reverses the ring, so the
+    gradient is the FULL differentiable-gather gradient at O(b) memory.
+
+    transpose=False: rows = maxsim(local queries, rotating key blocks).
+    transpose=True : rows = maxsim(rotating query blocks, local keys).T —
+    used for the image-row direction where the local tensor is the key side.
+    """
+    n = jax.lax.axis_size(axis_name)
+    rank = jax.lax.axis_index(axis_name)
+    b_rows = token_q.shape[0] if not transpose else token_k_local.shape[0]
+    b_block = token_k_local.shape[0] if not transpose else token_q.shape[0]
+    rotating = token_k_local if not transpose else token_q
+    local = token_q if not transpose else token_k_local
+
+    cols = jnp.zeros((b_rows, n * b_block), jnp.float32)
+    for s in range(n):
+        owner = (rank - s) % n  # whose block we currently hold
+        if not transpose:
+            block = maxsim(local, rotating, mask_mode=mask_mode, impl=maxsim_impl)
+        else:
+            block = maxsim(rotating, local, mask_mode=mask_mode, impl=maxsim_impl).T
+        cols = jax.lax.dynamic_update_slice(cols, block, (0, owner * b_block))
+        if s != n - 1:
+            rotating = _ring_shift(rotating, axis_name)
+    return cols
 
 
 def colclip_loss(
@@ -43,6 +88,7 @@ def colclip_loss(
     logit_bias: Optional[jnp.ndarray] = None,
     maxsim_impl: str = "auto",
     mask_mode: str = "nonzero",
+    token_dist: str = "gather",          # 'gather' | 'ring' (local_loss only)
     output_dict: bool = True,
 ):
     gkw = dict(axis_name=axis_name, gather_with_grad=gather_with_grad, local_loss=local_loss)
@@ -50,15 +96,26 @@ def colclip_loss(
     if axis_name is not None and local_loss:
         # Sharded-logits form (the reference's missing local_loss branch).
         all_image, all_text = gather_pair(image_features, text_features, **gkw)
-        all_tok_image = gather_features(token_image_features, **gkw)
-        all_tok_text = gather_features(token_text_features, **gkw)
 
         logits_per_image = logit_scale * _matmul_t(image_features, all_text)
         logits_per_text = logit_scale * _matmul_t(text_features, all_image)
-        # S[m, k] rows for local texts over all images:
-        s_text = maxsim(token_text_features, all_tok_image, mask_mode=mask_mode, impl=maxsim_impl)
-        # columns for local images over all texts, transposed into rows:
-        s_image = maxsim(all_tok_text, token_image_features, mask_mode=mask_mode, impl=maxsim_impl).T
+        if token_dist == "ring":
+            # blockwise ring: never gathers the token tensors
+            s_text = _ring_maxsim_rows(
+                token_text_features, token_image_features, axis_name,
+                transpose=False, maxsim_impl=maxsim_impl, mask_mode=mask_mode,
+            )
+            s_image = _ring_maxsim_rows(
+                token_text_features, token_image_features, axis_name,
+                transpose=True, maxsim_impl=maxsim_impl, mask_mode=mask_mode,
+            )
+        else:
+            all_tok_image = gather_features(token_image_features, **gkw)
+            all_tok_text = gather_features(token_text_features, **gkw)
+            # S[m, k] rows for local texts over all images:
+            s_text = maxsim(token_text_features, all_tok_image, mask_mode=mask_mode, impl=maxsim_impl)
+            # columns for local images over all texts, transposed into rows:
+            s_image = maxsim(all_tok_text, token_image_features, mask_mode=mask_mode, impl=maxsim_impl).T
         logits_per_text_token = logit_scale * s_text
         logits_per_image_token = logit_scale * s_image
         num_logits = logits_per_image.shape[0]

@@ -53,6 +53,7 @@ class TrainStepConfig:
     accum_freq: int = 1
     maxsim_impl: str = "auto"
     ce_impl: str = "dense"          # 'fused' = Pallas streaming logsumexp CE
+    token_dist: str = "gather"      # 'ring' = blockwise ppermute token loss
     mask_mode: str = "nonzero"
     dist_impl: str = "bidir"              # siglip negative exchange
     clamp_logit_scale: bool = True
@@ -68,7 +69,7 @@ def compute_loss(out: Dict[str, jnp.ndarray], cfg: TrainStepConfig,
             out["logit_scale"], alpha=cfg.alpha, axis_name=axis_name,
             local_loss=cfg.local_loss, gather_with_grad=cfg.gather_with_grad,
             logit_bias=out.get("logit_bias"), maxsim_impl=cfg.maxsim_impl,
-            mask_mode=cfg.mask_mode, output_dict=True,
+            mask_mode=cfg.mask_mode, token_dist=cfg.token_dist, output_dict=True,
         )
     if cfg.loss_type == "clip":
         total = clip_loss(

@@ -147,6 +147,9 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--ce-impl", type=str, default="dense",
                         choices=["dense", "fused"],
                         help="fused = Pallas streaming logsumexp CE (no NxN logits)")
+    parser.add_argument("--token-dist", type=str, default="gather",
+                        choices=["gather", "ring"],
+                        help="ring = blockwise ppermute token-feature exchange")
     parser.add_argument("--eval-scoring", type=str, default="global",
                         choices=["global", "maxsim", "mixed"])
 

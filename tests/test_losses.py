@@ -207,3 +207,39 @@ def test_clip_loss_gradients_distributed_match_full_batch(rng):
     g_full = jax.grad(lambda a, b: clip_loss(a, b, scale), argnums=(0, 1))(i, t)
     np.testing.assert_allclose(np.asarray(g_dist[0]), np.asarray(g_full[0]), rtol=1e-4, atol=1e-7)
     np.testing.assert_allclose(np.asarray(g_dist[1]), np.asarray(g_full[1]), rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.parametrize("gather_with_grad", [True])
+def test_colclip_ring_token_dist_matches_gather(rng, gather_with_grad):
+    """Ring blockwise token loss == gathered token loss, values AND grads."""
+    n = WORLD * 2
+    i, t = _pooled(rng, n=n)
+    ti, tt = _tokens(rng, n=n)
+    mesh = _mesh()
+    alpha = 0.6
+    scale = jnp.float32(30.0)
+
+    def make(token_dist):
+        def per_device(i_, t_, ti_, tt_):
+            out = colclip_loss(
+                i_, t_, ti_, tt_, scale, alpha=alpha, axis_name="data",
+                local_loss=True, gather_with_grad=gather_with_grad,
+                maxsim_impl="xla", token_dist=token_dist,
+            )
+            return jax.lax.pmean(out["total_loss"], "data")
+        return jax.jit(shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P("data")),
+            out_specs=P(),
+        ))
+
+    ring = make("ring")
+    gathered = make("gather")
+    v_ring = float(ring(i, t, ti, tt))
+    v_gather = float(gathered(i, t, ti, tt))
+    np.testing.assert_allclose(v_ring, v_gather, rtol=1e-5)
+
+    g_ring = jax.grad(lambda a, b: make("ring")(i, t, a, b))(ti, tt)
+    g_gather = jax.grad(lambda a, b: make("gather")(i, t, a, b))(ti, tt)
+    np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_gather),
+                               rtol=1e-4, atol=1e-7)
