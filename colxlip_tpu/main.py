@@ -47,6 +47,22 @@ logger = logging.getLogger(__name__)
 LATEST_CHECKPOINT_NAME = "epoch_latest"
 
 
+def copy_codebase(args) -> None:
+    """Snapshot the package source into the experiment dir (main.py:461-477)."""
+    import shutil
+
+    new_code_path = os.path.join(args.logs, args.name, "code")
+    if os.path.exists(new_code_path):
+        logger.error("Error: experiment code dir %s already exists", new_code_path)
+        return
+    logger.info("Copying codebase to %s", new_code_path)
+    current_code_path = os.path.dirname(os.path.realpath(__file__))
+    shutil.copytree(
+        current_code_path, os.path.join(new_code_path, "colxlip_tpu"),
+        ignore=shutil.ignore_patterns("__pycache__", "*.pyc", "logs", "wandb"),
+    )
+
+
 def generate_name(args) -> str:
     """Auto experiment name (reference main.py:92-107)."""
     date_str = datetime.now().strftime("%Y_%m_%d-%H_%M_%S")
@@ -124,6 +140,8 @@ def main(argv=None) -> int:
     )
     if is_master:
         dump_params(args, os.path.join(log_base, "params.txt"))
+        if args.copy_codebase:
+            copy_codebase(args)
     logger.info("Running with %d device(s) on %d process(es).",
                 num_devices, jax.process_count())
 

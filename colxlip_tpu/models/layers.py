@@ -210,11 +210,16 @@ class Transformer(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None, is_causal: bool = False):
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None, is_causal: bool = False,
+                 take_indices: Optional[tuple] = None):
+        """take_indices (static tuple of block idxs) additionally returns those
+        blocks' outputs — the reference's forward_intermediates feature taps
+        (transformer.py:475-498 / utils.py feature_take_indices)."""
         block_cls = ResidualAttentionBlock
         if self.remat:
             # static_argnums counts self at index 0; is_causal (bool) is static.
             block_cls = nn.remat(ResidualAttentionBlock, static_argnums=(3,))
+        intermediates = []
         for i in range(self.layers):
             block = block_cls(
                 self.width, self.heads, self.mlp_ratio,
@@ -223,6 +228,10 @@ class Transformer(nn.Module):
                 name=f"resblocks_{i}",
             )
             x = block(x, mask, is_causal)
+            if take_indices is not None and i in take_indices:
+                intermediates.append(x)
+        if take_indices is not None:
+            return x, intermediates
         return x
 
 

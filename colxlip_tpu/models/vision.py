@@ -102,11 +102,25 @@ class VisionTransformer(nn.Module):
             name="transformer",
         )(x)
 
-        # ln_post before pooling (reference default path, transformer.py:737-740)
-        if cfg.final_ln_after_pool:
+        if cfg.attentional_pool:
+            # bool attn-pool branch (reference transformer.py:729-733): pool
+            # with learned queries, ln_post, then tok/avg pool the queries
+            from .layers import AttentionalPooler
+
+            x = AttentionalPooler(
+                width, n_head=cfg.attn_pooler_heads,
+                n_queries=cfg.attn_pooler_queries,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="attn_pool",
+            )(x)
+            x = LayerNorm(name="ln_post")(x)
+            pooled, tokens = self._global_pool(x, cfg.pool_type)
+        elif cfg.final_ln_after_pool:
+            # ln_post after pooling (reference transformer.py:734-737)
             pooled, tokens = self._global_pool(x, cfg.pool_type)
             pooled = LayerNorm(name="ln_post")(pooled)
         else:
+            # ln_post before pooling (reference default, transformer.py:737-740)
             x = LayerNorm(name="ln_post")(x)
             pooled, tokens = self._global_pool(x, cfg.pool_type)
 

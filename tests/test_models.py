@@ -136,3 +136,18 @@ def test_bf16_compute_close_to_fp32(tiny_cfg):
         axis=-1,
     )
     assert np.all(cos > 0.99)
+
+
+def test_attentional_pool_vision_tower():
+    import dataclasses
+    from colxlip_tpu.models import CLIPVisionCfg, VisionTransformer
+
+    cfg = CLIPVisionCfg(layers=2, width=128, head_width=32, patch_size=16,
+                        image_size=64, attentional_pool=True,
+                        attn_pooler_queries=8, attn_pooler_heads=4)
+    tower = VisionTransformer(cfg, embed_dim=64, dtype=jnp.float32)
+    img = jnp.ones((2, 64, 64, 3)) * 0.2
+    params = tower.init(jax.random.PRNGKey(0), img)
+    pooled, tokens = tower.apply(params, img)
+    assert pooled.shape == (2, 64)
+    assert tokens.shape == (2, 7, 128)  # 8 queries, tok-pool drops the first
