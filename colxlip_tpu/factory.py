@@ -166,7 +166,9 @@ def create_loss(args) -> TrainStepConfig:
     'colxlip' in model name -> ColCLIP alpha-mix; --siglip -> SigLIP;
     otherwise plain CLIP InfoNCE."""
     model_name = getattr(args, "model", "")
-    if getattr(args, "siglip", False):
+    if getattr(args, "distill_model", None) and getattr(args, "distill_pretrained", None):
+        loss_type = "distill"
+    elif getattr(args, "siglip", False):
         loss_type = "siglip"
     elif "colxlip" in model_name.lower():
         loss_type = "colclip"

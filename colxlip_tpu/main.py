@@ -252,7 +252,15 @@ def main(argv=None) -> int:
     )
     mesh = create_mesh(model_parallel=args.model_parallel) if num_devices > 1 else None
     loss_cfg = create_loss(args)
-    step_fn = make_train_step(model, tx, loss_cfg, mesh=mesh)
+    teacher = None
+    if loss_cfg.loss_type == "distill":
+        from .factory import create_model as _create_model, load_weights as _load_weights
+
+        t_model, t_cfg = _create_model(args.distill_model, precision=args.precision)
+        t_params = _load_weights(t_model, t_cfg, args.distill_pretrained, seed=args.seed)
+        teacher = (t_model, t_params)
+        logger.info("Distilling from %s (%s)", args.distill_model, args.distill_pretrained)
+    step_fn = make_train_step(model, tx, loss_cfg, mesh=mesh, teacher=teacher)
 
     state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
     start_epoch = 0

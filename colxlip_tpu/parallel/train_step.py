@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..losses import clip_loss, colclip_loss, siglip_loss
+from ..losses import clip_loss, colclip_loss, distill_clip_loss, siglip_loss
 from .mesh import DATA_AXIS
 
 MAX_LOGIT_SCALE = math.log(100.0)
@@ -79,6 +79,19 @@ def compute_loss(out: Dict[str, jnp.ndarray], cfg: TrainStepConfig,
             logit_bias=out.get("logit_bias"), ce_impl=cfg.ce_impl,
         )
         return {"total_loss": total}
+    if cfg.loss_type == "distill":
+        contrastive, distill = distill_clip_loss(
+            out["image_features"], out["text_features"], out["logit_scale"],
+            out["dist_image_features"], out["dist_text_features"],
+            out["dist_logit_scale"],
+            axis_name=axis_name, local_loss=cfg.local_loss,
+            gather_with_grad=cfg.gather_with_grad,
+        )
+        return {
+            "contrastive_loss": contrastive,
+            "distill_loss": distill,
+            "total_loss": contrastive + distill,
+        }
     if cfg.loss_type == "siglip":
         total = siglip_loss(
             out["image_features"], out["text_features"], out["logit_scale"],
@@ -103,16 +116,26 @@ def make_train_step(
     cfg: TrainStepConfig,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    teacher: Optional[Tuple[Any, Any]] = None,
 ):
     """Build the jitted train step fn(state, images, texts) -> (state, metrics).
 
     images: [B_local*world, H, W, 3] (global batch, sharded over 'data')
     texts:  [B, ctx] int32 (caption 0 already selected, train.py:122)
+    teacher: (model, params) for loss_type='distill' — teacher features are
+    computed under stop_gradient each step (reference DistillClipLoss usage).
     """
     axis_name = DATA_AXIS if mesh is not None else None
+    teacher_model, teacher_params = teacher if teacher is not None else (None, None)
 
     def loss_fn(params, images, texts):
         out = model.apply(params, images, texts, train=True)
+        if teacher_model is not None:
+            t_out = teacher_model.apply(teacher_params, images, texts)
+            out = dict(out)
+            out["dist_image_features"] = jax.lax.stop_gradient(t_out["image_features"])
+            out["dist_text_features"] = jax.lax.stop_gradient(t_out["text_features"])
+            out["dist_logit_scale"] = jax.lax.stop_gradient(t_out["logit_scale"])
         losses = compute_loss(out, cfg, axis_name)
         return losses["total_loss"], (losses, out["logit_scale"])
 

@@ -140,6 +140,8 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--local-loss", default=False, action="store_true")
     parser.add_argument("--gather-with-grad", default=False, action="store_true")
     parser.add_argument("--siglip", default=False, action="store_true")
+    parser.add_argument("--distill-model", type=str, default=None)
+    parser.add_argument("--distill-pretrained", type=str, default=None)
     parser.add_argument("--dist-impl", type=str, default=None,
                         choices=[None, "bidir", "shift", "reduce", "gather"])
     parser.add_argument("--maxsim-impl", type=str, default="auto",

@@ -117,3 +117,21 @@ def test_siglip_step_on_mesh(setup):
     step = make_train_step(model, tx, cfg, mesh=mesh, donate=False)
     sN, mN = step(replicate_state(state, mesh), imgs, txts)
     assert np.isfinite(float(mN["total_loss"]))
+
+
+def test_distill_train_step(setup):
+    """Teacher-student distillation step: finite losses, student improves."""
+    model, tx, state, imgs, txts = setup
+    # teacher = a copy of the model with different params
+    import copy
+    teacher_params = jax.tree.map(lambda x: x * 1.01, state.params)
+    cfg = TrainStepConfig(loss_type="distill")
+    step = make_train_step(model, tx, cfg, donate=False,
+                           teacher=(model, teacher_params))
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, imgs, txts)
+        losses.append(float(metrics["total_loss"]))
+        assert np.isfinite(float(metrics["contrastive_loss"]))
+        assert np.isfinite(float(metrics["distill_loss"]))
+    assert losses[-1] < losses[0]
