@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -89,6 +90,7 @@ def load_weights(
     checkpoint_path: str,
     *,
     seed: int = 0,
+    model_name: str = "",
 ):
     """Initialize params then load a checkpoint (.pt or orbax) non-strictly.
 
@@ -97,6 +99,10 @@ def load_weights(
     """
     from .training.checkpoint import load_native_checkpoint, load_pt_checkpoint
 
+    if not os.path.exists(checkpoint_path):
+        from .pretrained import resolve_pretrained
+
+        checkpoint_path = resolve_pretrained(model_name, checkpoint_path)
     params = init_params(model, cfg, seed)
     if checkpoint_path.endswith((".pt", ".pth", ".bin")):
         params = load_pt_checkpoint(
@@ -137,7 +143,7 @@ def create_model_and_transforms(
         grad_checkpointing=grad_checkpointing, alpha=alpha,
     )
     if pretrained:
-        params = load_weights(model, cfg, pretrained, seed=seed)
+        params = load_weights(model, cfg, pretrained, seed=seed, model_name=model_name)
     else:
         params = init_params(model, cfg, seed)
     size = cfg.vision_cfg.image_size

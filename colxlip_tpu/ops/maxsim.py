@@ -148,14 +148,20 @@ def maxsim(
     text_mask: Optional[jnp.ndarray] = None,
     impl: str = "auto",
     m_chunk: int = 16,
-    k_chunk: int = 128,
+    k_chunk: int = 256,
 ) -> jnp.ndarray:
-    """Dispatch MaxSim. impl in {'auto', 'xla', 'chunked', 'pallas'}."""
+    """Dispatch MaxSim. impl in {'auto', 'xla', 'chunked', 'pallas'}.
+
+    'auto' picks the CHUNKED XLA path for large problems: measured on v5e
+    (round 1, 512x2048x77x196x512 bf16) XLA's fused einsum->max pipeline runs
+    at ~168 TFLOP/s vs ~45 for the hand-written Pallas kernel at its current
+    tile sizes — XLA fuses the max reduction into the contraction so the
+    chunked path is both memory-bounded AND faster. The Pallas kernel remains
+    available (exact to 1e-9) for shapes/states where explicit VMEM control
+    wins; revisit its tiling before preferring it.
+    """
     if impl == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        if on_tpu and mask_mode in ("nonzero", "plain", "valid"):
-            impl = "pallas"
-        elif token_text.shape[0] * token_image.shape[0] <= 256 * 256:
+        if token_text.shape[0] * token_image.shape[0] <= 256 * 256:
             impl = "xla"
         else:
             impl = "chunked"

@@ -18,6 +18,13 @@ materializes more than one [BM*Lt, Li_pad] similarity tile in VMEM:
       dI: grid (K/BK, M/BM) i-fastest, accumulates over i into the dI block:
           dI[q] += sum_mn P[mn,q] * scale[mn] * T[mn,:]
 
+TPU lane constraint: Mosaic requires the last block dim to be a multiple of
+128 (or the full array). S is therefore blocked (BM, 128) and each group of
+``r = 128 // BK`` consecutive k-programs masked-accumulates its BK columns
+into the group block (the block stays VMEM-resident across the group since
+its index map is constant within it). The same grouping reads dS in the
+backward kernels.
+
 mask_mode semantics identical to ops.maxsim (nonzero / plain / valid); the
 nonzero indicator and counts are recomputed in the backward, with gradients
 treating the indicator as constant (measure-zero events ignored), matching
@@ -35,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-8
 _NEG = -1e30
+_LANE = 128
 
 
 def _round_up(x: int, m: int) -> int:
@@ -75,27 +83,36 @@ def _sim_tile(t_flat, i_k, li):
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(t_ref, i_ref, mask_ref, out_ref, *, bm, bk, lt, li, mask_mode):
+def _fwd_kernel(t_ref, i_ref, mask_ref, out_ref, *, bm, bk, lt, li, mask_mode, r):
+    k = pl.program_id(1)
+    off = (k % r) * bk
     t = t_ref[...]
     t_flat = t.reshape(bm * lt, t.shape[-1])
     mask_tile = mask_ref[...] if mask_ref is not None else None
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bm, _LANE), 1)
 
     def body(j, acc):
         sim = _sim_tile(t_flat, i_ref[j], li)
         m = jnp.max(sim, axis=1).reshape(bm, lt)
-        # padded-out image rows (all -NEG) can only happen if the whole image
-        # is padding; those columns are sliced away by the wrapper
         w = _weights(m, mask_tile, mask_mode)
         s = jnp.sum(m * w, axis=1) / (jnp.sum(w, axis=1) + _EPS)  # [BM]
-        col = jax.lax.broadcasted_iota(jnp.int32, (bm, bk), 1)
-        return acc + jnp.where(col == j, s[:, None], 0.0)
+        return acc + jnp.where(lane == off + j, s[:, None], 0.0)
 
-    out_ref[...] = jax.lax.fori_loop(0, bk, body, jnp.zeros((bm, bk), jnp.float32))
+    acc = jax.lax.fori_loop(0, bk, body, jnp.zeros((bm, _LANE), jnp.float32))
+
+    @pl.when(k % r == 0)
+    def _():
+        out_ref[...] = acc
+
+    @pl.when(k % r != 0)
+    def _():
+        out_ref[...] += acc
 
 
 def _fwd_call(t, i, mask, *, bm, bk, li, mask_mode, interpret):
     m_pad, lt, d = t.shape
     k_pad, li_pad, _ = i.shape
+    r = _LANE // bk
     grid = (m_pad // bm, k_pad // bk)
     in_specs = [
         pl.BlockSpec((bm, lt, d), lambda gi, gk: (gi, 0, 0)),
@@ -106,14 +123,14 @@ def _fwd_call(t, i, mask, *, bm, bk, li, mask_mode, interpret):
         in_specs.append(pl.BlockSpec((bm, lt), lambda gi, gk: (gi, 0)))
         args.append(mask)
         kernel = functools.partial(
-            _fwd_kernel, bm=bm, bk=bk, lt=lt, li=li, mask_mode=mask_mode
+            _fwd_kernel, bm=bm, bk=bk, lt=lt, li=li, mask_mode=mask_mode, r=r
         )
     else:
         kernel = functools.partial(
             lambda t_ref, i_ref, out_ref, **kw: _fwd_kernel(
                 t_ref, i_ref, None, out_ref, **kw
             ),
-            bm=bm, bk=bk, lt=lt, li=li, mask_mode=mask_mode,
+            bm=bm, bk=bk, lt=lt, li=li, mask_mode=mask_mode, r=r,
         )
     flops = 2 * m_pad * lt * k_pad * li_pad * d
     return pl.pallas_call(
@@ -121,7 +138,7 @@ def _fwd_call(t, i, mask, *, bm, bk, li, mask_mode, interpret):
         out_shape=jax.ShapeDtypeStruct((m_pad, k_pad), jnp.float32),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bm, bk), lambda gi, gk: (gi, gk)),
+        out_specs=pl.BlockSpec((bm, _LANE), lambda gi, gk: (gi, gk // r)),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=t.size * t.dtype.itemsize
             + grid[0] * i.size * i.dtype.itemsize + m_pad * k_pad * 4,
@@ -134,6 +151,11 @@ def _fwd_call(t, i, mask, *, bm, bk, li, mask_mode, interpret):
 # ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
+
+def _g_col(g_block, lane, col):
+    """Extract column ``col`` (traced) of a [BM, 128] block as [BM]."""
+    return jnp.sum(jnp.where(lane == col, g_block, 0.0), axis=1)
+
 
 def _scale_tile(sim, mask_tile, g_col, bm, lt, mask_mode):
     """Per-element routing scale [BM*Lt, 1] for dS column g_col [BM]."""
@@ -151,18 +173,22 @@ def _argmax_onehot(sim):
 
 
 def _bwd_dt_kernel(t_ref, i_ref, g_ref, mask_ref, out_ref, *,
-                   bm, bk, lt, li, mask_mode):
+                   bm, bk, lt, li, mask_mode, r):
+    k = pl.program_id(1)
+    off = (k % r) * bk
     t = t_ref[...]
     d = t.shape[-1]
     t_flat = t.reshape(bm * lt, d)
     mask_tile = mask_ref[...] if mask_ref is not None else None
-    g = g_ref[...]  # [BM, BK]
+    g = g_ref[...]  # [BM, 128]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bm, _LANE), 1)
 
     def body(j, acc):
         i_k = i_ref[j]
         sim = _sim_tile(t_flat, i_k, li)
         p = _argmax_onehot(sim)
-        scale = _scale_tile(sim, mask_tile, g[:, j], bm, lt, mask_mode)
+        scale = _scale_tile(sim, mask_tile, _g_col(g, lane, off + j),
+                            bm, lt, mask_mode)
         contrib = jax.lax.dot_general(
             p * scale, i_k.astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -182,12 +208,15 @@ def _bwd_dt_kernel(t_ref, i_ref, g_ref, mask_ref, out_ref, *,
 
 
 def _bwd_di_kernel(t_ref, i_ref, g_ref, mask_ref, out_ref, *,
-                   bm, bk, lt, li, mask_mode):
+                   bm, bk, lt, li, mask_mode, r):
+    k = pl.program_id(0)
+    off = (k % r) * bk
     t = t_ref[...]
     d = t.shape[-1]
     t_flat = t.reshape(bm * lt, d).astype(jnp.float32)
     mask_tile = mask_ref[...] if mask_ref is not None else None
-    g = g_ref[...]  # [BM, BK]
+    g = g_ref[...]  # [BM, 128]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bm, _LANE), 1)
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -197,7 +226,8 @@ def _bwd_di_kernel(t_ref, i_ref, g_ref, mask_ref, out_ref, *,
         i_k = i_ref[j]
         sim = _sim_tile(t_flat, i_k, li)
         p = _argmax_onehot(sim)
-        scale = _scale_tile(sim, mask_tile, g[:, j], bm, lt, mask_mode)
+        scale = _scale_tile(sim, mask_tile, _g_col(g, lane, off + j),
+                            bm, lt, mask_mode)
         contrib = jax.lax.dot_general(
             p * scale, t_flat,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -212,39 +242,44 @@ def _bwd_di_kernel(t_ref, i_ref, g_ref, mask_ref, out_ref, *,
 def _bwd_call(t, i, mask, g, *, bm, bk, li, mask_mode, interpret):
     m_pad, lt, d = t.shape
     k_pad, li_pad, _ = i.shape
-
-    def specs(transposed_g):
-        base = [
-            pl.BlockSpec((bm, lt, d), (lambda gi, gk: (gi, 0, 0)) if not transposed_g
-                         else (lambda gk, gi: (gi, 0, 0))),
-            pl.BlockSpec((bk, li_pad, d), (lambda gi, gk: (gk, 0, 0)) if not transposed_g
-                         else (lambda gk, gi: (gk, 0, 0))),
-            pl.BlockSpec((bm, bk), (lambda gi, gk: (gi, gk)) if not transposed_g
-                         else (lambda gk, gi: (gi, gk))),
-        ]
-        if mask is not None:
-            base.append(pl.BlockSpec((bm, lt), (lambda gi, gk: (gi, 0)) if not transposed_g
-                                     else (lambda gk, gi: (gi, 0))))
-        return base
+    r = _LANE // bk
 
     def make(kernel_fn, grid, out_shape, out_spec, transposed_g):
-        args = [t, i, g] + ([mask] if mask is not None else [])
-        if mask is None:
+        # index maps: plain order (i-major, k-fast) vs transposed
+        if not transposed_g:
+            t_map = lambda gi, gk: (gi, 0, 0)
+            i_map = lambda gi, gk: (gk, 0, 0)
+            g_map = lambda gi, gk: (gi, gk // r)
+            m_map = lambda gi, gk: (gi, 0)
+        else:
+            t_map = lambda gk, gi: (gi, 0, 0)
+            i_map = lambda gk, gi: (gk, 0, 0)
+            g_map = lambda gk, gi: (gi, gk // r)
+            m_map = lambda gk, gi: (gi, 0)
+        in_specs = [
+            pl.BlockSpec((bm, lt, d), t_map),
+            pl.BlockSpec((bk, li_pad, d), i_map),
+            pl.BlockSpec((bm, _LANE), g_map),
+        ]
+        args = [t, i, g]
+        if mask is not None:
+            in_specs.append(pl.BlockSpec((bm, lt), m_map))
+            args.append(mask)
+            body = functools.partial(
+                kernel_fn, bm=bm, bk=bk, lt=lt, li=li, mask_mode=mask_mode, r=r
+            )
+        else:
             body = functools.partial(
                 lambda t_ref, i_ref, g_ref, out_ref, **kw: kernel_fn(
                     t_ref, i_ref, g_ref, None, out_ref, **kw
                 ),
-                bm=bm, bk=bk, lt=lt, li=li, mask_mode=mask_mode,
-            )
-        else:
-            body = functools.partial(
-                kernel_fn, bm=bm, bk=bk, lt=lt, li=li, mask_mode=mask_mode
+                bm=bm, bk=bk, lt=lt, li=li, mask_mode=mask_mode, r=r,
             )
         return pl.pallas_call(
             body,
             out_shape=out_shape,
             grid=grid,
-            in_specs=specs(transposed_g),
+            in_specs=in_specs,
             out_specs=out_spec,
             interpret=interpret,
         )(*args)
@@ -302,15 +337,16 @@ def maxsim_pallas(
     *,
     mask_mode: str = "nonzero",
     text_mask: Optional[jnp.ndarray] = None,
-    block_m: int = 32,
+    block_m: Optional[int] = None,
     block_k: int = 8,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """[M,Lt,D] x [K,Li,D] -> [M,K] fp32 MaxSim via the blocked TPU kernel.
 
-    Inputs are zero-padded to block multiples (and Li to a lane multiple of
-    128) OUTSIDE the custom-vjp boundary, so pad/slice gradients come from
-    standard AD and the kernels only see aligned shapes.
+    Inputs are zero-padded to block multiples (K to a multiple of 128 for the
+    lane-aligned output blocks, Li to a lane multiple) OUTSIDE the custom-vjp
+    boundary, so pad/slice gradients come from standard AD and the kernels
+    only see aligned shapes. block_k must divide 128.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -318,14 +354,23 @@ def maxsim_pallas(
         raise ValueError("mask_mode='valid' needs text_mask")
     if mask_mode != "valid":
         text_mask = None
+    assert _LANE % block_k == 0, "block_k must divide 128"
 
     m, lt, d = token_text.shape
     k, li, _ = token_image.shape
-    bm = min(block_m, m)
-    bk = min(block_k, k)
+    if block_m is None:
+        # VMEM budget: worst-case live set is T block + double-buffered I
+        # block + ~4 [bm*Lt, Li_pad] fp32 temporaries; these defaults keep it
+        # under the 16MB scoped limit for Lt=77, Li=196, D=512
+        if token_text.dtype == jnp.bfloat16:
+            block_m = 16
+        else:
+            block_m, block_k = 8, min(block_k, 4)
+    bm = min(block_m, _round_up(m, 8))
+    bk = block_k
     m_pad = _round_up(m, bm)
-    k_pad = _round_up(k, bk)
-    li_pad = _round_up(li, 128)
+    k_pad = _round_up(k, _LANE)
+    li_pad = _round_up(li, _LANE)
     t = _pad_axis0(token_text, m_pad)
     i = _pad_axis0(token_image, k_pad)
     i = jnp.pad(i, ((0, 0), (0, li_pad - li), (0, 0)))

@@ -23,14 +23,14 @@ def _features(rng, m=16, k=8, lt=7, li=9, d=32, with_zeros=False):
 def test_pallas_forward_matches_xla(rng, mask_mode):
     t, i = _features(rng, with_zeros=(mask_mode == "nonzero"))
     got = np.asarray(maxsim_pallas(t, i, mask_mode=mask_mode,
-                                   block_m=8, block_k=4, interpret=True))
+                                   block_m=8, block_k=8, interpret=True))
     want = np.asarray(maxsim_xla(t, i, mask_mode=mask_mode))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
 def test_pallas_forward_unaligned_shapes(rng):
     t, i = _features(rng, m=13, k=5, lt=7, li=9)
-    got = np.asarray(maxsim_pallas(t, i, block_m=8, block_k=4, interpret=True))
+    got = np.asarray(maxsim_pallas(t, i, block_m=8, block_k=8, interpret=True))
     want = np.asarray(maxsim_xla(t, i))
     assert got.shape == (13, 5)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
@@ -42,7 +42,7 @@ def test_pallas_valid_mask(rng):
     mask[:, 0] = 1.0
     got = np.asarray(maxsim_pallas(
         t, i, mask_mode="valid", text_mask=jnp.asarray(mask),
-        block_m=8, block_k=4, interpret=True,
+        block_m=8, block_k=8, interpret=True,
     ))
     want = np.asarray(maxsim_xla(t, i, mask_mode="valid", text_mask=jnp.asarray(mask)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
@@ -54,7 +54,7 @@ def test_pallas_gradients_match_xla(rng, mask_mode):
 
     def loss_p(t_, i_):
         return jnp.sum(jnp.sin(maxsim_pallas(
-            t_, i_, mask_mode=mask_mode, block_m=4, block_k=2, interpret=True)))
+            t_, i_, mask_mode=mask_mode, block_m=4, block_k=4, interpret=True)))
 
     def loss_x(t_, i_):
         return jnp.sum(jnp.sin(maxsim_xla(t_, i_, mask_mode=mask_mode)))
@@ -72,7 +72,7 @@ def test_pallas_gradients_valid_mask(rng):
     def loss_p(t_, i_):
         return jnp.sum(maxsim_pallas(
             t_, i_, mask_mode="valid", text_mask=mask,
-            block_m=4, block_k=2, interpret=True))
+            block_m=4, block_k=4, interpret=True))
 
     def loss_x(t_, i_):
         return jnp.sum(maxsim_xla(t_, i_, mask_mode="valid", text_mask=mask))
@@ -87,7 +87,7 @@ def test_pallas_bf16_inputs(rng):
     t, i = _features(rng, m=16, k=8, lt=7, li=9, d=128)
     got = np.asarray(maxsim_pallas(
         t.astype(jnp.bfloat16), i.astype(jnp.bfloat16),
-        block_m=8, block_k=4, interpret=True,
+        block_m=8, block_k=8, interpret=True,
     ))
     want = np.asarray(maxsim_xla(t, i))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
