@@ -206,15 +206,17 @@ def main(argv=None) -> int:
         )
         return 0
 
-    # data
+    # data: each host's pipeline yields a LOCAL batch; the feeder assembles
+    # the global sharded array (parallel/data_feed.py)
     global_batch = args.batch_size * num_devices
+    host_batch = args.batch_size * jax.local_device_count()
     shared_epoch = SharedEpoch(0)
     if args.dataset_type == "synthetic" or not args.train_data:
         num_samples = args.train_num_samples or global_batch * 100
         h = cfg.vision_cfg.image_size
         h = h if isinstance(h, int) else h[0]
         train_data = SyntheticDataset(SyntheticConfig(
-            batch_size=global_batch, image_size=(h, h),
+            batch_size=host_batch, image_size=(h, h),
             context_length=cfg.text_cfg.context_length,
             num_sampled_captions=args.num_sampled_captions,
             seed=args.seed, num_samples=num_samples,
@@ -224,7 +226,7 @@ def main(argv=None) -> int:
         wds_cfg = WdsConfig(
             urls=args.train_data,
             weights=args.train_data_upsampling_factors,
-            batch_size=global_batch,
+            batch_size=host_batch,
             num_samples=args.train_num_samples,
             resampled=args.dataset_resampled,
             seed=args.seed,
@@ -251,6 +253,9 @@ def main(argv=None) -> int:
         lock_image=args.lock_image, lock_text=args.lock_text,
     )
     mesh = create_mesh(model_parallel=args.model_parallel) if num_devices > 1 else None
+    from .parallel.data_feed import DeviceFeeder
+
+    feeder = DeviceFeeder(mesh)
     loss_cfg = create_loss(args)
     teacher = None
     if loss_cfg.loss_type == "distill":
@@ -281,7 +286,7 @@ def main(argv=None) -> int:
             train_data.set_epoch(epoch)
         t0 = time.perf_counter()
         state, steps = train_one_epoch(
-            step_fn, state, iter(train_data),
+            step_fn, state, iter(train_data), feeder=feeder,
             epoch=epoch, global_batch_size=global_batch,
             num_devices=num_devices,
             log_every_n_steps=args.log_every_n_steps,

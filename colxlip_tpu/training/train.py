@@ -43,6 +43,7 @@ def train_one_epoch(
     steps_per_epoch: Optional[int] = None,
     lr_schedule=None,
     profiler_dir: Optional[str] = None,
+    feeder=None,
 ):
     """Run one epoch; returns (state, steps_run)."""
     batch_time_m = AverageMeter()
@@ -56,11 +57,13 @@ def train_one_epoch(
         if steps_per_epoch is not None and i >= steps_per_epoch:
             break
         texts = select_caption0(np.asarray(texts))
+        if feeder is not None:
+            images, texts = feeder(np.asarray(images, np.float32), texts)
         data_time_m.update(time.perf_counter() - end)
 
         if profiler_dir and i == 2:
             jax.profiler.start_trace(profiler_dir)
-        state, metrics = step_fn(state, jnp.asarray(images), jnp.asarray(texts))
+        state, metrics = step_fn(state, jnp.asarray(images), jnp.asarray(texts))  # noqa: E501  (feeder outputs pass through asarray unchanged)
         if profiler_dir and i == 4:
             jax.block_until_ready(metrics["total_loss"])
             jax.profiler.stop_trace()
