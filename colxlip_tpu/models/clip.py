@@ -182,6 +182,32 @@ class ColXLIP(nn.Module):
             token_features = l2_normalize(token_features)
         return pooled, token_features
 
+    def get_logits(self, image, text, alpha: Optional[float] = None):
+        """Alpha-mixed (global, token) logits for a batch of pairs.
+
+        The late-interaction inference combination the reference sketches in
+        its commented-out forward (model.py:678-684) and its minimal example
+        calls on FLAIR: logits = scale * (alpha*global + (1-alpha)*token).
+        """
+        if alpha is None:
+            alpha = self.cfg.alpha
+        image_features, token_image = self.encode_image(image, normalize=True)
+        text_features, token_text = self.encode_text(text, normalize=True)
+        scale = jnp.exp(self.logit_scale)
+        global_sim = image_features @ text_features.T
+        token_sim = self.compute_colbert_similarity(token_image, token_text).T
+        logits_per_image = scale * (alpha * global_sim + (1 - alpha) * token_sim)
+        return logits_per_image, logits_per_image.T
+
+    def get_logits_as_clip(self, image, text):
+        """Plain CLIP scoring, ignoring token features (reference
+        minimal_example.py's comparison baseline)."""
+        image_features, _ = self.encode_image(image, normalize=True)
+        text_features, _ = self.encode_text(text, normalize=True)
+        scale = jnp.exp(self.logit_scale)
+        logits_per_image = scale * image_features @ text_features.T
+        return logits_per_image, logits_per_image.T
+
     def compute_colbert_similarity(self, token_image_features, token_text_features):
         """Plain-mean MaxSim scoring (reference model.py:611-629).
 

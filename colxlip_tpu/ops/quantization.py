@@ -1,0 +1,103 @@
+"""Int8 quantization ops (Pallas TPU kernels + XLA fallback).
+
+Counterpart of the reference's int8 linear replacement hook
+(src/colxlip/utils.py:31-106 ``convert_int8_model_to_inference_mode`` /
+bitsandbytes-style int8 Linear): per-channel symmetric int8 weight
+quantization for inference-time memory/bandwidth reduction. The Pallas
+kernel uses the TPU PRNG for stochastic rounding (guide: quantization
+kernel pattern).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_int8_xla(
+    w: jnp.ndarray, axis: int = 0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-channel symmetric int8: returns (values int8, scales fp32)."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_int8(q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.bfloat16):
+    return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+def _quant_kernel(x_ref, seed_ref, values_ref, scales_ref):
+    pltpu.prng_seed(seed_ref[0])
+    x = x_ref[...].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=0, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    scaled = x / scale
+    bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
+    values_ref[...] = pltpu.stochastic_round(
+        scaled, bits, target_dtype=jnp.int8
+    )
+    scales_ref[...] = scale
+
+
+def quantize_int8_pallas(
+    w: jnp.ndarray, seed: int = 0, interpret: Optional[bool] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stochastic-rounding int8 quantization of a [K, N] weight (per-column).
+
+    Stochastic rounding makes the quantization unbiased — the standard trick
+    for quantized training/inference stacks.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k, n = w.shape
+    seed_arr = jnp.asarray([seed], jnp.int32)
+    return pl.pallas_call(
+        _quant_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((k, n), jnp.int8),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(w, seed_arr)
+
+
+def int8_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
+                bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x @ dequant(q) with fp32 accumulation; the int8 weight is dequantized
+    on the fly (XLA fuses the scale multiply into the matmul epilogue)."""
+    out = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
+def quantize_params_int8(params, *, min_size: int = 1 << 16):
+    """Quantize every large 2-D kernel in a param tree to (int8, scale).
+
+    Returns a new tree where matching leaves become dicts
+    {'int8': values, 'scale': scales}; use with custom inference wrappers.
+    """
+    def q(path, leaf):
+        if leaf.ndim == 2 and leaf.size >= min_size:
+            values, scale = quantize_int8_xla(leaf)
+            return {"int8": values, "scale": scale}
+        return leaf
+    return jax.tree_util.tree_map_with_path(q, params)
