@@ -1,0 +1,138 @@
+"""Grain-backed input pipeline (process-parallel alternative to data/wds.py).
+
+The north-star design names a Grain host pipeline (BASELINE.json). This
+module expresses the same tar-shard stream as a ``grain`` dataset chain —
+shard list -> epoch-seeded shuffle -> host shard split -> tar flat-map ->
+decode/tokenize map -> batch — and uses grain's multiprocess prefetching
+(``mp_prefetch``) so Python-side decode runs in worker PROCESSES (no GIL),
+complementing the threaded pipeline + native C++ decoder in wds.py.
+
+API-compatible with WdsTrainPipeline: iterating yields (images, texts)
+host-local batches; ``set_epoch`` reshuffles shards.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import random
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from .captions import sample_and_tokenize
+from .wds import (
+    SharedEpoch,
+    WdsConfig,
+    _round_num_batches,
+    decode_image,
+    expand_urls,
+    has_image_and_json,
+    has_image_and_txt,
+    iter_tar_samples,
+    log_and_continue,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class _TarFlatMap:
+    """Shard path -> decoded samples (grain FlatMapTransform contract)."""
+
+    # grain requires an upper bound on per-element fan-out
+    max_fan_out = 1_000_000
+
+    def __init__(self, caption_key: str):
+        self.filter = has_image_and_json if caption_key == "json" else has_image_and_txt
+
+    def flat_map(self, path: str):
+        # grain buffers the fan-out as a Sequence (needs len()), so one
+        # shard's samples are materialized at a time
+        return [s for s in iter_tar_samples(path) if self.filter(s)]
+
+
+class _DecodeTokenize:
+    """Sample dict -> (image float32 HWC, texts int32 [k, ctx])."""
+
+    def __init__(self, transform, tokenizer, cfg: WdsConfig, epoch: int):
+        self.transform = transform
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        self.epoch = epoch
+
+    def map(self, sample):
+        cfg = self.cfg
+        rng = random.Random((cfg.seed, self.epoch, sample.get("__key__", b"")).__hash__())
+        try:
+            img = decode_image(sample)
+            img_arr = np.asarray(self.transform(img), np.float32)
+            if cfg.caption_key == "json":
+                meta = json.loads(sample["json"])
+                texts = sample_and_tokenize(
+                    meta, self.tokenizer, k=cfg.num_sampled_captions,
+                    max_merged_num=cfg.max_merged_num,
+                    pixelprose=cfg.pixelprose, rng=rng,
+                )
+            else:
+                texts = self.tokenizer(
+                    [sample["txt"].decode("utf-8", "replace")] * cfg.num_sampled_captions
+                )
+            return img_arr, np.asarray(texts, np.int32)
+        except Exception as exn:  # data-plane fault tolerance
+            log_and_continue(exn)
+            return None
+
+
+class GrainTrainPipeline:
+    """(images, texts) batch iterator over tar shards via grain."""
+
+    def __init__(self, cfg: WdsConfig, transform, tokenizer,
+                 shared_epoch: Optional[SharedEpoch] = None):
+        self.cfg = cfg
+        self.transform = transform
+        self.tokenizer = tokenizer
+        self.shared_epoch = shared_epoch or SharedEpoch(0)
+        self.urls, self.url_weights = expand_urls(cfg.urls, cfg.weights)
+        if not self.urls:
+            raise ValueError(f"no shards matched: {cfg.urls}")
+        if cfg.num_samples is not None:
+            self.num_batches = _round_num_batches(
+                cfg.num_samples, cfg.batch_size, cfg.world_size, cfg.num_workers
+            )
+        else:
+            self.num_batches = None
+
+    def set_epoch(self, epoch: int) -> None:
+        self.shared_epoch.set_value(epoch)
+
+    def _dataset(self, epoch: int):
+        import grain
+        from grain import experimental as gx
+
+        cfg = self.cfg
+        shards = grain.MapDataset.source(list(self.urls))
+        shards = shards.shuffle(seed=cfg.seed + epoch)
+        shards = shards[cfg.rank :: max(1, cfg.world_size)]
+        it = shards.to_iter_dataset()
+        it = gx.FlatMapIterDataset(it, _TarFlatMap(cfg.caption_key))
+        decoder = _DecodeTokenize(self.transform, self.tokenizer, cfg, epoch)
+        it = it.map(decoder.map)
+        it = it.filter(lambda x: x is not None)
+        if cfg.shuffle_buffer > 1:
+            it = gx.WindowShuffleIterDataset(
+                it, window_size=cfg.shuffle_buffer, seed=cfg.seed + epoch
+            )
+        it = it.batch(cfg.batch_size, drop_remainder=True)
+        if cfg.num_workers > 0:
+            it = it.mp_prefetch(
+                grain.MultiprocessingOptions(num_workers=cfg.num_workers)
+            )
+        return it
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        epoch = self.shared_epoch.get_value()
+        produced = 0
+        for images, texts in self._dataset(epoch):
+            yield np.asarray(images), np.asarray(texts)
+            produced += 1
+            if self.num_batches is not None and produced >= self.num_batches:
+                return

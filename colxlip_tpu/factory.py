@@ -45,6 +45,7 @@ def create_model(
     grad_checkpointing: bool = False,
     alpha: float = 0.5,
     init_logit_bias: Optional[float] = None,
+    gelu_approximate: bool = False,
 ):
     """Build the model definition (uninitialized flax Module) + its config."""
     cfg_dict = get_model_config(model_name)
@@ -61,7 +62,7 @@ def create_model(
         cfg.vision_cfg.patch_dropout = force_patch_dropout
     if init_logit_bias is not None:
         cfg = dataclasses.replace(cfg, init_logit_bias=init_logit_bias)
-    cfg = dataclasses.replace(cfg, alpha=alpha)
+    cfg = dataclasses.replace(cfg, alpha=alpha, gelu_approximate=gelu_approximate)
 
     policy = PrecisionPolicy.from_precision(precision)
     model_cls = ColXLIP if "colxlip" in model_name.lower() else CLIP
@@ -129,6 +130,7 @@ def create_model_and_transforms(
     force_patch_dropout: Optional[float] = None,
     grad_checkpointing: bool = False,
     alpha: float = 0.5,
+    gelu_approximate: bool = False,
     image_mean: Tuple[float, ...] = OPENAI_DATASET_MEAN,
     image_std: Tuple[float, ...] = OPENAI_DATASET_STD,
     aug_cfg: Optional[AugmentationCfg] = None,
@@ -141,6 +143,7 @@ def create_model_and_transforms(
         force_image_size=force_image_size,
         force_patch_dropout=force_patch_dropout,
         grad_checkpointing=grad_checkpointing, alpha=alpha,
+        gelu_approximate=gelu_approximate,
     )
     if pretrained:
         params = load_weights(model, cfg, pretrained, seed=seed, model_name=model_name)

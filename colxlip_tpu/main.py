@@ -176,6 +176,7 @@ def main(argv=None) -> int:
         force_patch_dropout=args.force_patch_dropout,
         grad_checkpointing=args.grad_checkpointing,
         alpha=args.alpha,
+        gelu_approximate=args.gelu_approx,
         seed=args.seed,
     )
     tokenizer = get_tokenizer(args.model)

@@ -23,9 +23,15 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .configs import CLIPCfg
-from .layers import LayerNorm, gelu, quick_gelu
+from .layers import LayerNorm, gelu, gelu_tanh, quick_gelu
 from .text import TextTransformer
 from .vision import VisionTransformer
+
+
+def _select_act(cfg: CLIPCfg):
+    if cfg.quick_gelu:
+        return quick_gelu
+    return gelu_tanh if getattr(cfg, "gelu_approximate", False) else gelu
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
@@ -68,7 +74,7 @@ class CLIP(nn.Module):
     remat: bool = False
 
     def setup(self):
-        act: Callable = quick_gelu if self.cfg.quick_gelu else gelu
+        act: Callable = _select_act(self.cfg)
         self.visual = VisionTransformer(
             self.cfg.vision_cfg, embed_dim=self.cfg.embed_dim, act=act,
             dtype=self.dtype, param_dtype=self.param_dtype, remat=self.remat,
@@ -120,7 +126,7 @@ class ColXLIP(nn.Module):
     remat: bool = False
 
     def setup(self):
-        act: Callable = quick_gelu if self.cfg.quick_gelu else gelu
+        act: Callable = _select_act(self.cfg)
         # ColXLIP forces output_tokens on both towers (model.py:490-497); our
         # towers always compute tokens, callers pick what they need.
         self.visual = VisionTransformer(

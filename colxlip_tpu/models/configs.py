@@ -79,6 +79,9 @@ class CLIPCfg:
     vision_cfg: CLIPVisionCfg = dataclasses.field(default_factory=CLIPVisionCfg)
     text_cfg: CLIPTextCfg = dataclasses.field(default_factory=CLIPTextCfg)
     quick_gelu: bool = False
+    gelu_approximate: bool = False   # tanh-approx GELU: ~10% faster tower on
+                                     # v5e (erf is transcendental-heavy on the
+                                     # VPU); off by default for exact parity
     init_logit_scale: float = 2.6592600345530126    # ln(1/0.07), model.py:470
     init_logit_bias: Optional[float] = None
     alpha: float = 0.5                               # ColXLIP global/token loss mix

@@ -126,6 +126,8 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--precision", type=str, default="bf16",
                         choices=["bf16", "pure_bf16", "fp32", "amp", "amp_bf16"])
     parser.add_argument("--force-quick-gelu", default=False, action="store_true")
+    parser.add_argument("--gelu-approx", default=False, action="store_true",
+                        help="tanh-approx GELU (~10%% faster tower; tiny numeric diff)")
     parser.add_argument("--force-patch-dropout", default=None, type=float)
     parser.add_argument("--force-image-size", type=int, default=None)
     parser.add_argument("--lock-image", default=False, action="store_true")

@@ -210,3 +210,38 @@ def test_wds_pipeline_native_decode(tar_shards):
     assert np.isfinite(imgs).all()
     assert np.abs(imgs).sum() > 0  # actually decoded, not zeroed failures
     assert txts.shape[0] == 4
+
+
+def test_grain_pipeline_end_to_end(tar_shards):
+    """Grain-backed pipeline yields the same-shaped batches."""
+    from colxlip_tpu.data.grain_pipeline import GrainTrainPipeline
+
+    tok = SimpleTokenizer(context_length=16)
+    transform = image_transform(32, is_train=True, seed=0)
+    cfg = WdsConfig(
+        urls=os.path.join(tar_shards, "shard-{0000..0001}.tar"),
+        batch_size=4, num_samples=16, num_workers=0, shuffle_buffer=8,
+        num_sampled_captions=2,
+    )
+    pipe = GrainTrainPipeline(cfg, transform, tok, SharedEpoch(0))
+    batches = list(pipe)
+    assert len(batches) >= 2
+    imgs, txts = batches[0]
+    assert imgs.shape == (4, 32, 32, 3)
+    assert txts.shape == (4, 2, 16)
+    assert (txts[:, :, 0] == 49406).all()
+
+
+def test_grain_pipeline_multiprocess(tar_shards):
+    from colxlip_tpu.data.grain_pipeline import GrainTrainPipeline
+
+    tok = SimpleTokenizer(context_length=16)
+    transform = image_transform(32, is_train=False)
+    cfg = WdsConfig(
+        urls=os.path.join(tar_shards, "shard-{0000..0001}.tar"),
+        batch_size=4, num_samples=8, num_workers=2, shuffle_buffer=0,
+    )
+    pipe = GrainTrainPipeline(cfg, transform, tok, SharedEpoch(0))
+    batches = list(pipe)
+    assert len(batches) == 2
+    assert all(np.isfinite(b[0]).all() for b in batches)
