@@ -47,6 +47,19 @@ logger = logging.getLogger(__name__)
 LATEST_CHECKPOINT_NAME = "epoch_latest"
 
 
+def _broadcast_str(value: str, max_len: int = 512) -> str:
+    """Broadcast a string from process 0 to all hosts (no-op single-host)."""
+    if jax.process_count() == 1:
+        return value
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros((max_len,), np.uint8)
+    raw = value.encode()[:max_len]
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    out = multihost_utils.broadcast_one_to_all(buf)
+    return bytes(np.asarray(out)).rstrip(b"\x00").decode()
+
+
 def copy_codebase(args) -> None:
     """Snapshot the package source into the experiment dir (main.py:461-477)."""
     import shutil
@@ -128,7 +141,9 @@ def main(argv=None) -> int:
     num_devices = jax.device_count()
 
     if args.name is None:
-        args.name = generate_name(args)
+        # rank-0 chooses the timestamped name; broadcast so all hosts agree
+        # (reference main.py:99 broadcast_object of date_str)
+        args.name = _broadcast_str(generate_name(args))
 
     log_base = os.path.join(args.logs, args.name)
     checkpoint_dir = os.path.join(log_base, "checkpoints")
@@ -145,10 +160,14 @@ def main(argv=None) -> int:
     logger.info("Running with %d device(s) on %d process(es).",
                 num_devices, jax.process_count())
 
-    # resume-latest discovery (reference main.py:138-170)
+    # resume-latest discovery (reference main.py:138-170); rank 0 discovers
+    # and broadcasts so a checkpoint landing mid-discovery on a shared FS
+    # can't split the hosts (the reference's master-only + broadcast
+    # mitigation, main.py:150-170)
     resume_from = None
     if args.resume == "latest":
-        resume_from = get_latest_checkpoint(checkpoint_dir)
+        found = get_latest_checkpoint(checkpoint_dir) if is_master else ""
+        resume_from = _broadcast_str(found or "") or None
         if resume_from:
             logger.info("Found latest checkpoint: %s", resume_from)
     elif args.resume:
