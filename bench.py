@@ -24,6 +24,8 @@ def main():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--exact-gelu", action="store_true",
+                   help="erf GELU (reference-parity numerics; ~14%% slower)")
     p.add_argument("--baseline", type=float, default=3000.0)
     args = p.parse_args()
 
@@ -40,7 +42,11 @@ def main():
     from colxlip_tpu.training.optim import create_optimizer
     from colxlip_tpu.training.schedules import cosine_lr
 
+    import dataclasses
     cfg = CLIPCfg.from_dict(get_model_config(args.model))
+    # default: tanh-approx GELU, the framework's fast training configuration
+    # (erf costs ~14% on the VPU; --exact-gelu for reference-parity numerics)
+    cfg = dataclasses.replace(cfg, gelu_approximate=not args.exact_gelu)
     model = ColXLIP(cfg, dtype=jnp.bfloat16, remat=args.remat)
     tx = create_optimizer(cosine_lr(1e-3, 100, 10000), weight_decay=0.2)
 
@@ -75,7 +81,8 @@ def main():
 
     ips = args.steps * b / dt
     print(json.dumps({
-        "metric": f"images/sec/chip ({args.model}, bf16 train step, {args.loss} loss, batch {b})",
+        "metric": f"images/sec/chip ({args.model}, bf16 train step, {args.loss} loss, batch {b}"
+                  + (", erf-gelu" if args.exact_gelu else "") + ")",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / args.baseline, 4),

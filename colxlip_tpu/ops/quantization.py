@@ -38,10 +38,12 @@ def _quant_kernel(x_ref, seed_ref, values_ref, scales_ref):
     amax = jnp.max(jnp.abs(x), axis=0, keepdims=True)
     scale = jnp.maximum(amax / 127.0, 1e-8)
     scaled = x / scale
+    # manual stochastic rounding to int (pltpu.stochastic_round only targets
+    # bf16/fp8): floor(x + u) with u ~ U[0, 1) is unbiased
     bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
-    values_ref[...] = pltpu.stochastic_round(
-        scaled, bits, target_dtype=jnp.int8
-    )
+    u = (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    rounded = jnp.floor(scaled + u)
+    values_ref[...] = jnp.clip(rounded, -127.0, 127.0).astype(jnp.int8)
     scales_ref[...] = scale
 
 
