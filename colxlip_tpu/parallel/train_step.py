@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..losses import clip_loss, colclip_loss, distill_clip_loss, siglip_loss
+from ..losses import clip_loss, coca_loss, colclip_loss, distill_clip_loss, siglip_loss
 from .mesh import DATA_AXIS
 
 MAX_LOGIT_SCALE = math.log(100.0)
@@ -79,6 +79,18 @@ def compute_loss(out: Dict[str, jnp.ndarray], cfg: TrainStepConfig,
             logit_bias=out.get("logit_bias"), ce_impl=cfg.ce_impl,
         )
         return {"total_loss": total}
+    if cfg.loss_type == "coca":
+        d = coca_loss(
+            out["image_features"], out["text_features"], out["logits"],
+            out["labels"], out["logit_scale"],
+            axis_name=axis_name, local_loss=cfg.local_loss,
+            gather_with_grad=cfg.gather_with_grad, output_dict=True,
+        )
+        return {
+            "contrastive_loss": d["contrastive_loss"],
+            "caption_loss": d["caption_loss"],
+            "total_loss": d["contrastive_loss"] + d["caption_loss"],
+        }
     if cfg.loss_type == "distill":
         contrastive, distill = distill_clip_loss(
             out["image_features"], out["text_features"], out["logit_scale"],

@@ -108,3 +108,23 @@ def test_coca_text_tower_pad_mask():
     txt2[0, 10] = 0  # already pad — no-op sanity
     p2, _ = tower.apply(params, jnp.asarray(txt2))
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5)
+
+
+def test_coca_with_train_step(coca_setup):
+    """CoCa trains through the standard make_train_step machinery."""
+    import optax
+    from colxlip_tpu.parallel.train_step import (
+        TrainStepConfig, init_train_state, make_train_step,
+    )
+    from colxlip_tpu.training.optim import create_optimizer
+
+    model, params, img, txt, cfg = coca_setup
+    tx = create_optimizer(1e-3, weight_decay=0.1)
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), img, txt)
+    step = make_train_step(model, tx, TrainStepConfig(loss_type="coca"), donate=False)
+    losses = []
+    for _ in range(3):
+        state, m = step(state, img, txt)
+        losses.append(float(m["total_loss"]))
+        assert np.isfinite(float(m["caption_loss"]))
+    assert losses[-1] < losses[0]
