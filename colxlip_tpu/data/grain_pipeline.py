@@ -30,6 +30,7 @@ from .wds import (
     has_image_and_txt,
     iter_tar_samples,
     log_and_continue,
+    resampled_shards,
 )
 
 logger = logging.getLogger(__name__)
@@ -51,7 +52,12 @@ class _TarFlatMap:
 
 
 class _DecodeTokenize:
-    """Sample dict -> (image float32 HWC, texts int32 [k, ctx])."""
+    """Sample dict -> (image float32 HWC, texts int32 [k, ctx]).
+
+    Honors cfg.native_decode: JPEG samples go through the fused C++
+    decode+crop+resize core (single-sample calls; grain's worker processes
+    provide the parallelism), others fall back to PIL.
+    """
 
     def __init__(self, transform, tokenizer, cfg: WdsConfig, epoch: int):
         self.transform = transform
@@ -59,12 +65,42 @@ class _DecodeTokenize:
         self.cfg = cfg
         self.epoch = epoch
 
+    def _decode_native(self, sample, rng):
+        from .. import native
+        from .transforms import sample_rrc_box
+
+        data = sample.get("jpg") or sample.get("jpeg")
+        if data is None:
+            return None
+        info = native.jpeg_info(data)
+        if info is None:
+            return None
+        w, h = info
+        aug = getattr(self.transform, "aug", None)
+        crops = None
+        if self.transform.is_train and aug is not None:
+            crops = np.asarray(
+                [sample_rrc_box(w, h, aug.scale, aug.ratio, rng)], np.int32
+            )
+        pcfg = self.transform.cfg
+        out, failures = native.process_batch(
+            [data], pcfg.size_hw, pcfg.mean, pcfg.std, crops=crops, num_threads=1
+        )
+        return None if failures else out[0]
+
     def map(self, sample):
         cfg = self.cfg
         rng = random.Random((cfg.seed, self.epoch, sample.get("__key__", b"")).__hash__())
         try:
-            img = decode_image(sample)
-            img_arr = np.asarray(self.transform(img), np.float32)
+            img_arr = None
+            if cfg.native_decode:
+                from .. import native
+
+                if native.available():
+                    img_arr = self._decode_native(sample, rng)
+            if img_arr is None:
+                img = decode_image(sample)
+                img_arr = np.asarray(self.transform(img), np.float32)
             if cfg.caption_key == "json":
                 meta = json.loads(sample["json"])
                 texts = sample_and_tokenize(
@@ -109,9 +145,26 @@ class GrainTrainPipeline:
         from grain import experimental as gx
 
         cfg = self.cfg
-        shards = grain.MapDataset.source(list(self.urls))
-        shards = shards.shuffle(seed=cfg.seed + epoch)
-        shards = shards[cfg.rank :: max(1, cfg.world_size)]
+        if cfg.resampled:
+            # weighted sampling with replacement (wds resampled_shards
+            # semantics): materialize a long enough seeded shard sequence —
+            # the batch-count cap truncates consumption, matching the wds
+            # path's per-epoch budget
+            seq = list(resampled_shards(
+                self.urls, self.url_weights, seed=cfg.seed, epoch=epoch,
+                worker_id=cfg.rank,
+                num_shards=max(4 * len(self.urls), 64),
+            ))
+            shards = grain.MapDataset.source(seq)
+        else:
+            if self.url_weights is not None:
+                logger.warning(
+                    "grain pipeline: --train-data-upsampling-factors requires "
+                    "--dataset-resampled; weights ignored in deterministic mode"
+                )
+            shards = grain.MapDataset.source(list(self.urls))
+            shards = shards.shuffle(seed=cfg.seed + epoch)
+            shards = shards[cfg.rank :: max(1, cfg.world_size)]
         it = shards.to_iter_dataset()
         it = gx.FlatMapIterDataset(it, _TarFlatMap(cfg.caption_key))
         decoder = _DecodeTokenize(self.transform, self.tokenizer, cfg, epoch)

@@ -259,7 +259,14 @@ def main(argv=None) -> int:
             rank=jax.process_index(),
             world_size=jax.process_count(),
         )
-        train_data = WdsTrainPipeline(wds_cfg, preprocess_train, tokenizer, shared_epoch)
+        if args.pipeline == "grain":
+            import grain  # noqa: F401  fail fast before model build
+
+            from .data.grain_pipeline import GrainTrainPipeline
+
+            train_data = GrainTrainPipeline(wds_cfg, preprocess_train, tokenizer, shared_epoch)
+        else:
+            train_data = WdsTrainPipeline(wds_cfg, preprocess_train, tokenizer, shared_epoch)
         num_batches = train_data.num_batches or 1000
     steps_per_epoch = args.steps_per_epoch or num_batches
     total_steps = steps_per_epoch * args.epochs

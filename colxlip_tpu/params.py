@@ -53,6 +53,9 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--pixelprose", default=False, action="store_true")
     parser.add_argument("--native-decode", default=False, action="store_true",
                         help="fused C++ JPEG decode+crop+resize loader core")
+    parser.add_argument("--pipeline", type=str, default="wds",
+                        choices=["wds", "grain"],
+                        help="threaded tar pipeline vs grain mp-prefetch pipeline")
     parser.add_argument("--decode-threads", type=int, default=8)
 
     # retrieval eval suites (reference params.py retrieval dirs)

@@ -245,3 +245,40 @@ def test_grain_pipeline_multiprocess(tar_shards):
     batches = list(pipe)
     assert len(batches) == 2
     assert all(np.isfinite(b[0]).all() for b in batches)
+
+
+def test_grain_pipeline_resampled_weighted(tar_shards):
+    """resampled mode draws shards with replacement honoring weights."""
+    from colxlip_tpu.data.grain_pipeline import GrainTrainPipeline
+
+    tok = SimpleTokenizer(context_length=16)
+    transform = image_transform(32, is_train=False)
+    cfg = WdsConfig(
+        urls=os.path.join(tar_shards, "shard-0000.tar") + "::" +
+             os.path.join(tar_shards, "shard-0001.tar"),
+        weights="1.0::0.0",  # only shard 0 should ever be drawn
+        batch_size=4, num_samples=16, num_workers=0, shuffle_buffer=0,
+        resampled=True,
+    )
+    pipe = GrainTrainPipeline(cfg, transform, tok, SharedEpoch(0))
+    batches = list(pipe)
+    assert len(batches) == 4  # with replacement: never exhausts early
+
+
+def test_grain_pipeline_native_decode(tar_shards):
+    from colxlip_tpu import native
+    from colxlip_tpu.data.grain_pipeline import GrainTrainPipeline
+
+    if not native.available():
+        pytest.skip("native loader unavailable")
+    tok = SimpleTokenizer(context_length=16)
+    transform = image_transform(32, is_train=True, seed=0)
+    cfg = WdsConfig(
+        urls=os.path.join(tar_shards, "shard-{0000..0001}.tar"),
+        batch_size=4, num_samples=8, num_workers=0, shuffle_buffer=0,
+        native_decode=True,
+    )
+    pipe = GrainTrainPipeline(cfg, transform, tok, SharedEpoch(0))
+    batches = list(pipe)
+    assert len(batches) == 2
+    assert all(np.isfinite(b[0]).all() and np.abs(b[0]).sum() > 0 for b in batches)
