@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import logging
 import random
+import zlib
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -22,6 +23,7 @@ import numpy as np
 from .captions import sample_and_tokenize
 from .wds import (
     SharedEpoch,
+    probe_native_sample,
     WdsConfig,
     _round_num_batches,
     decode_image,
@@ -67,21 +69,12 @@ class _DecodeTokenize:
 
     def _decode_native(self, sample, rng):
         from .. import native
-        from .transforms import sample_rrc_box
 
-        data = sample.get("jpg") or sample.get("jpeg")
-        if data is None:
+        probe = probe_native_sample(sample, self.transform, rng)
+        if probe is None:
             return None
-        info = native.jpeg_info(data)
-        if info is None:
-            return None
-        w, h = info
-        aug = getattr(self.transform, "aug", None)
-        crops = None
-        if self.transform.is_train and aug is not None:
-            crops = np.asarray(
-                [sample_rrc_box(w, h, aug.scale, aug.ratio, rng)], np.int32
-            )
+        data, box = probe
+        crops = np.asarray([box], np.int32) if box is not None else None
         pcfg = self.transform.cfg
         out, failures = native.process_batch(
             [data], pcfg.size_hw, pcfg.mean, pcfg.std, crops=crops, num_threads=1
@@ -90,7 +83,10 @@ class _DecodeTokenize:
 
     def map(self, sample):
         cfg = self.cfg
-        rng = random.Random((cfg.seed, self.epoch, sample.get("__key__", b"")).__hash__())
+        # stable across interpreters/worker processes (hash() of bytes is
+        # PYTHONHASHSEED-randomized; crc32 is not)
+        key_digest = zlib.crc32(sample.get("__key__", b""))
+        rng = random.Random(cfg.seed * 1_000_003 + self.epoch * 97 + key_digest)
         try:
             img_arr = None
             if cfg.native_decode:
@@ -155,7 +151,11 @@ class GrainTrainPipeline:
                 worker_id=cfg.rank,
                 num_shards=max(4 * len(self.urls), 64),
             ))
-            shards = grain.MapDataset.source(seq)
+            # repeat -> effectively infinite stream so the epoch NEVER
+            # exhausts before num_batches (wds resampled semantics; also
+            # keeps multi-host ranks in lockstep — an early-exhausting rank
+            # would deadlock the pod's collectives)
+            shards = grain.MapDataset.source(seq).repeat(None)
         else:
             if self.url_weights is not None:
                 logger.warning(

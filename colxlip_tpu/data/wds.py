@@ -207,6 +207,28 @@ def iter_tar_samples(
         stream.close()
 
 
+def probe_native_sample(sample: Dict[str, bytes], transform, rng):
+    """(jpeg_bytes, crop_box | None) for the fused C++ decoder, or None when
+    the sample is not a readable JPEG. Shared by the threaded (wds) and grain
+    pipelines so the key-probe + aug-gated RandomResizedCrop box draw cannot
+    diverge."""
+    from .. import native
+    from .transforms import sample_rrc_box
+
+    data = sample.get("jpg") or sample.get("jpeg")
+    if data is None:
+        return None
+    info = native.jpeg_info(data)
+    if info is None:
+        return None
+    w, h = info
+    aug = getattr(transform, "aug", None)
+    box = None
+    if transform.is_train and aug is not None:
+        box = sample_rrc_box(w, h, aug.scale, aug.ratio, rng)
+    return data, box
+
+
 def has_image_and_json(sample: Dict[str, bytes]) -> bool:
     """data.py:120-123 filter."""
     return "json" in sample and any(ext in sample for ext in IMAGE_EXTS)
@@ -348,21 +370,10 @@ class WdsTrainPipeline:
 
         Falls back to the PIL path for non-JPEG images or unreadable headers.
         """
-        from .. import native
-        from .transforms import sample_rrc_box
-
-        data = sample.get("jpg") or sample.get("jpeg")
-        if data is None:
+        probe = probe_native_sample(sample, self.transform, rng)
+        if probe is None:
             return self._process_sample(sample, rng)
-        info = native.jpeg_info(data)
-        if info is None:
-            return self._process_sample(sample, rng)
-        w, h = info
-        aug = getattr(self.transform, "aug", None)
-        if self.transform.is_train and aug is not None:
-            box = sample_rrc_box(w, h, aug.scale, aug.ratio, rng)
-        else:
-            box = None
+        data, box = probe
         return ("__raw__", data, box, self._tokenize(sample, rng))
 
     def _process_sample(self, sample: Dict[str, bytes], rng: random.Random):

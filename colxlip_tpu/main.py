@@ -134,6 +134,8 @@ def build_lr_schedule(args, total_steps: int):
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    if args.pipeline == "grain":
+        import grain  # noqa: F401  fail fast, before any model/TPU work
 
     initialize_multihost(args.dist_coordinator, args.dist_num_processes,
                          args.dist_process_id)
@@ -260,8 +262,6 @@ def main(argv=None) -> int:
             world_size=jax.process_count(),
         )
         if args.pipeline == "grain":
-            import grain  # noqa: F401  fail fast before model build
-
             from .data.grain_pipeline import GrainTrainPipeline
 
             train_data = GrainTrainPipeline(wds_cfg, preprocess_train, tokenizer, shared_epoch)

@@ -263,6 +263,15 @@ def test_grain_pipeline_resampled_weighted(tar_shards):
     pipe = GrainTrainPipeline(cfg, transform, tok, SharedEpoch(0))
     batches = list(pipe)
     assert len(batches) == 4  # with replacement: never exhausts early
+    # zero weight on shard 1 => every caption comes from shard 0.
+    # Captions embed the 9-digit key (CLIP regex tokenizes digits singly, so
+    # decode spaces them): shard-1 keys are 0001XXXXX -> the digit window
+    # "0 0 0 1 0" appears iff the sample came from shard 1 (shard-0 keys'
+    # only possible 1 is the final digit, never followed by 0).
+    for _, txts in batches:
+        for row in txts.reshape(-1, txts.shape[-1]):
+            text = tok.decode([t for t in row if t not in (0, 49406, 49407)])
+            assert "0 0 0 1 0" not in text, text
 
 
 def test_grain_pipeline_native_decode(tar_shards):
