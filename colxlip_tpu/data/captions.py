@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import random
 import re
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, List, Optional, Sequence
 
 CAPTION_KEYS = (
     "raw_caption",

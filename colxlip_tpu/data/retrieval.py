@@ -20,7 +20,7 @@ import dataclasses
 import json
 import os
 import re
-from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Iterator, List, Sequence
 
 import numpy as np
 

@@ -16,14 +16,14 @@ Counterparts of the reference's vendored stack:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from .clip import l2_normalize
-from .configs import CLIPCfg, CLIPTextCfg, CLIPVisionCfg
+from .configs import CLIPCfg, CLIPTextCfg
 from .layers import (
     AttentionalPooler,
     LayerNorm,

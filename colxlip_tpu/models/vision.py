@@ -15,7 +15,7 @@ under jit.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -24,7 +24,7 @@ materialized matrix at any N where this kernel matters).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -33,7 +33,6 @@ Three implementations, one contract:
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

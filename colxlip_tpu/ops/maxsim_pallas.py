@@ -33,7 +33,7 @@ torch autograd through ``(x != 0).float()``.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ kernel pattern).
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

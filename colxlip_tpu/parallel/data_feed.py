@@ -9,7 +9,7 @@ samples land on its own chips.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

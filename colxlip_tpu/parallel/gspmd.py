@@ -20,11 +20,9 @@ thin jit wrapper.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS, MODEL_AXIS

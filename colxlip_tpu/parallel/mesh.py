@@ -9,7 +9,7 @@ the towers (SURVEY.md §2.3: TP "comes nearly free under pjit").
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import argparse
 import ast
-from typing import Optional
 
 
 def get_default_params(model_name: str) -> dict:

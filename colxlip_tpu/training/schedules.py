@@ -9,7 +9,7 @@ Returned callables map step -> lr and plug into optax inject_hyperparams.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax.numpy as jnp
 

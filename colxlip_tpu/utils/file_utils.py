@@ -13,7 +13,6 @@ import logging
 import os
 import subprocess
 import threading
-from typing import Optional
 
 logger = logging.getLogger(__name__)
 

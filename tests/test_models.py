@@ -151,3 +151,18 @@ def test_attentional_pool_vision_tower():
     pooled, tokens = tower.apply(params, img)
     assert pooled.shape == (2, 64)
     assert tokens.shape == (2, 7, 128)  # 8 queries, tok-pool drops the first
+
+
+def test_gelu_approx_close_to_exact(tiny_cfg):
+    """tanh-GELU mode (the +14% fast path) stays numerically close to erf."""
+    import dataclasses
+    cfg_fast = dataclasses.replace(tiny_cfg, gelu_approximate=True)
+    m_exact = ColXLIP(tiny_cfg, dtype=jnp.float32)
+    m_fast = ColXLIP(cfg_fast, dtype=jnp.float32)
+    img = jnp.ones((2, 64, 64, 3)) * 0.2
+    txt = _text_batch(np.random.default_rng(9), 2, 32)
+    params = m_exact.init(jax.random.PRNGKey(0), img, txt)
+    o1 = m_exact.apply(params, img, txt)
+    o2 = m_fast.apply(params, img, txt)
+    cos = np.sum(np.asarray(o1["image_features"]) * np.asarray(o2["image_features"]), -1)
+    assert np.all(cos > 0.9999), cos
