@@ -135,3 +135,21 @@ def test_distill_train_step(setup):
         assert np.isfinite(float(metrics["contrastive_loss"]))
         assert np.isfinite(float(metrics["distill_loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_ring_token_dist_in_mesh_step(setup):
+    """Full train step with token_dist='ring' matches the gathered variant."""
+    model, tx, state, imgs, txts = setup
+    mesh = create_mesh(8)
+    mk = lambda td: make_train_step(
+        model, tx,
+        TrainStepConfig(loss_type="colclip", local_loss=True,
+                        gather_with_grad=True, maxsim_impl="xla",
+                        token_dist=td),
+        mesh=mesh, donate=False,
+    )
+    s1, m1 = mk("gather")(replicate_state(state, mesh), imgs, txts)
+    s2, m2 = mk("ring")(replicate_state(state, mesh), imgs, txts)
+    np.testing.assert_allclose(float(m1["total_loss"]), float(m2["total_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-6)
