@@ -75,3 +75,33 @@ def test_deterministic(tok):
 def test_ids_stay_within_vocab(tok):
     out = tok(["Lots-of-punct!!! éèê, numbers 123 456"])
     assert (out < VOCAB_SIZE).all()
+
+
+def test_bpe_merge_algorithm_with_synthetic_merges(tmp_path):
+    """Exact BPE behavior with a controlled merges file: merge priority,
+    </w> handling, and id layout must follow the CLIP algorithm."""
+    import gzip
+
+    # merges: prefer 'lo' then 'low</w>'... build a tiny ranked table
+    merges = "#version: 0.2\nl o\nlo w</w>\nh e\nhe l\nhel lo</w>\n"
+    p = tmp_path / "merges.txt.gz"
+    with gzip.open(p, "wt") as f:
+        # pad to the expected line count window (loader slices [1:48895])
+        f.write(merges)
+    tok = SimpleTokenizer(bpe_path=str(p))
+    assert tok.has_merges
+    # 'low' -> l+o merge first (rank 0), then 'lo'+'w</w>' (rank 1) => one token
+    ids = tok.encode("low")
+    assert len(ids) == 1
+    assert tok.decoder[ids[0]] == "low</w>"
+    # 'hello' -> h+e, he+l, hel+lo</w>?? 'hello' = h e l l o</w>;
+    # merges: l+o is rank 0 but needs adjacent 'l','o' -> 'hel' 'lo</w>'? trace:
+    # [h e l l o</w>]: 'l o' pair absent ('o</w>' differs); 'h e'(r2) -> [he l l o</w>]
+    # 'he l'(r3) -> [hel l o</w>]; no further merges match => 3 tokens
+    ids = tok.encode("hello")
+    toks = [tok.decoder[i] for i in ids]
+    assert toks == ["hel", "l", "o</w>"], toks
+    # specials still pinned
+    assert tok.encoder["<|endoftext|>"] == EOT_TOKEN
+    out = tok(["hello low"])
+    assert out[0, 0] == SOT_TOKEN and EOT_TOKEN in out[0]
