@@ -31,15 +31,13 @@ from ..parallel.collectives import gather_features, gather_pair
 from .clip import contrastive_labels, cross_entropy_with_integer_labels, _matmul_t
 
 
-def _ring_shift(x, axis_name):
-    """Receive the neighbor's block from rank-1 (ring, +1 direction)."""
-    n = jax.lax.axis_size(axis_name)
-    return jax.lax.ppermute(x, axis_name, [(i, (i + 1) % n) for i in range(n)])
+from ..parallel.collectives import ring_shift as _ring_shift
 
 
 def _ring_maxsim_rows(
     token_q, token_k_local, axis_name, *, transpose: bool,
-    maxsim_impl: str, mask_mode: str,
+    maxsim_impl: str, mask_mode: str, gather_with_grad: bool = True,
+    text_mask=None,
 ):
     """[b_q, N_global] MaxSim rows computed blockwise over a ppermute ring.
 
@@ -60,17 +58,27 @@ def _ring_maxsim_rows(
     b_block = token_k_local.shape[0] if not transpose else token_q.shape[0]
     rotating = token_k_local if not transpose else token_q
     local = token_q if not transpose else token_k_local
+    rot_mask = text_mask if transpose else None
+    if not gather_with_grad:
+        # reference local-loss default (loss.py:80-90 without splice): the
+        # gathered side carries NO gradient, including this device's own
+        # block appearing as columns/rotating queries
+        rotating = jax.lax.stop_gradient(rotating)
 
     cols = jnp.zeros((b_rows, n * b_block), jnp.float32)
     for s in range(n):
         owner = (rank - s) % n  # whose block we currently hold
         if not transpose:
-            block = maxsim(local, rotating, mask_mode=mask_mode, impl=maxsim_impl)
+            block = maxsim(local, rotating, mask_mode=mask_mode,
+                           text_mask=text_mask, impl=maxsim_impl)
         else:
-            block = maxsim(rotating, local, mask_mode=mask_mode, impl=maxsim_impl).T
+            block = maxsim(rotating, local, mask_mode=mask_mode,
+                           text_mask=rot_mask, impl=maxsim_impl).T
         cols = jax.lax.dynamic_update_slice(cols, block, (0, owner * b_block))
         if s != n - 1:
             rotating = _ring_shift(rotating, axis_name)
+            if rot_mask is not None:
+                rot_mask = _ring_shift(rot_mask, axis_name)
     return cols
 
 
@@ -89,6 +97,7 @@ def colclip_loss(
     maxsim_impl: str = "auto",
     mask_mode: str = "nonzero",
     token_dist: str = "gather",          # 'gather' | 'ring' (local_loss only)
+    text_mask: Optional[jnp.ndarray] = None,   # [b, Lt], required for 'valid'
     output_dict: bool = True,
 ):
     gkw = dict(axis_name=axis_name, gather_with_grad=gather_with_grad, local_loss=local_loss)
@@ -104,18 +113,24 @@ def colclip_loss(
             s_text = _ring_maxsim_rows(
                 token_text_features, token_image_features, axis_name,
                 transpose=False, maxsim_impl=maxsim_impl, mask_mode=mask_mode,
+                gather_with_grad=gather_with_grad, text_mask=text_mask,
             )
             s_image = _ring_maxsim_rows(
                 token_text_features, token_image_features, axis_name,
                 transpose=True, maxsim_impl=maxsim_impl, mask_mode=mask_mode,
+                gather_with_grad=gather_with_grad, text_mask=text_mask,
             )
         else:
             all_tok_image = gather_features(token_image_features, **gkw)
             all_tok_text = gather_features(token_text_features, **gkw)
+            all_text_mask = (gather_features(text_mask, **gkw)
+                             if text_mask is not None else None)
             # S[m, k] rows for local texts over all images:
-            s_text = maxsim(token_text_features, all_tok_image, mask_mode=mask_mode, impl=maxsim_impl)
+            s_text = maxsim(token_text_features, all_tok_image, mask_mode=mask_mode,
+                            text_mask=text_mask, impl=maxsim_impl)
             # columns for local images over all texts, transposed into rows:
-            s_image = maxsim(all_tok_text, token_image_features, mask_mode=mask_mode, impl=maxsim_impl).T
+            s_image = maxsim(all_tok_text, token_image_features, mask_mode=mask_mode,
+                             text_mask=all_text_mask, impl=maxsim_impl).T
         logits_per_text_token = logit_scale * s_text
         logits_per_image_token = logit_scale * s_image
         num_logits = logits_per_image.shape[0]
@@ -123,16 +138,20 @@ def colclip_loss(
         all_image, all_text = gather_pair(image_features, text_features, **gkw)
         all_tok_image = gather_features(token_image_features, **gkw)
         all_tok_text = gather_features(token_text_features, **gkw)
+        all_text_mask = (gather_features(text_mask, **gkw)
+                         if text_mask is not None else None)
         logits_per_image = logit_scale * _matmul_t(all_image, all_text)
         logits_per_text = logits_per_image.T
-        s = maxsim(all_tok_text, all_tok_image, mask_mode=mask_mode, impl=maxsim_impl)
+        s = maxsim(all_tok_text, all_tok_image, mask_mode=mask_mode,
+                   text_mask=all_text_mask, impl=maxsim_impl)
         logits_per_text_token = logit_scale * s
         logits_per_image_token = logits_per_text_token.T
         num_logits = logits_per_image.shape[0]
     else:
         logits_per_image = logit_scale * _matmul_t(image_features, text_features)
         logits_per_text = logits_per_image.T
-        s = maxsim(token_text_features, token_image_features, mask_mode=mask_mode, impl=maxsim_impl)
+        s = maxsim(token_text_features, token_image_features, mask_mode=mask_mode,
+                   text_mask=text_mask, impl=maxsim_impl)
         logits_per_text_token = logit_scale * s
         logits_per_image_token = logits_per_text_token.T
         num_logits = logits_per_image.shape[0]

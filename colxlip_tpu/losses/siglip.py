@@ -38,11 +38,7 @@ def _pairwise_sigmoid_loss(
     return -jnp.sum(jax.nn.log_sigmoid(labels * logits)) / b
 
 
-def _ring_permute(x, axis_name, shift):
-    """Send each device's x to (rank + shift) % world."""
-    n = jax.lax.axis_size(axis_name)
-    perm = [(i, (i + shift) % n) for i in range(n)]
-    return jax.lax.ppermute(x, axis_name, perm)
+from ..parallel.collectives import ring_shift as _ring_permute
 
 
 def siglip_loss(

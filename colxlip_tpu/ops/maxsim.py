@@ -160,10 +160,12 @@ def maxsim(
     wins; revisit its tiling before preferring it.
     """
     if impl == "auto":
-        if token_text.shape[0] * token_image.shape[0] <= 256 * 256:
-            impl = "xla"
-        else:
-            impl = "chunked"
+        # xla materializes [M, K, Lt, Li] fp32 — cap by TOTAL sim elements
+        # (~64 MB), not batch product; a 256x256 colclip batch is already
+        # ~4 GB at Lt=77/Li=196
+        sim_elems = (token_text.shape[0] * token_image.shape[0]
+                     * token_text.shape[1] * token_image.shape[1])
+        impl = "xla" if sim_elems <= (1 << 24) else "chunked"
     if impl == "xla":
         return maxsim_xla(token_text, token_image, mask_mode=mask_mode, text_mask=text_mask)
     if impl == "chunked":

@@ -213,7 +213,9 @@ def _bwd_di_kernel(t_ref, i_ref, g_ref, mask_ref, out_ref, *,
     off = (k % r) * bk
     t = t_ref[...]
     d = t.shape[-1]
-    t_flat = t.reshape(bm * lt, d).astype(jnp.float32)
+    # keep sim in the input dtype (matches fwd/dT: bf16 x bf16 MXU path);
+    # cast only the routing matmul's second operand
+    t_flat = t.reshape(bm * lt, d)
     mask_tile = mask_ref[...] if mask_ref is not None else None
     g = g_ref[...]  # [BM, 128]
     lane = jax.lax.broadcasted_iota(jnp.int32, (bm, _LANE), 1)
@@ -229,7 +231,7 @@ def _bwd_di_kernel(t_ref, i_ref, g_ref, mask_ref, out_ref, *,
         scale = _scale_tile(sim, mask_tile, _g_col(g, lane, off + j),
                             bm, lt, mask_mode)
         contrib = jax.lax.dot_general(
-            p * scale, t_flat,
+            p * scale, t_flat.astype(jnp.float32),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Li_pad, D]

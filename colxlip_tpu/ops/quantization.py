@@ -47,33 +47,41 @@ def _quant_kernel(x_ref, seed_ref, values_ref, scales_ref):
 
 
 def quantize_int8_pallas(
-    w: jnp.ndarray, seed: int = 0, interpret: Optional[bool] = None
+    w: jnp.ndarray, seed: int = 0, interpret: Optional[bool] = None,
+    block_n: int = 512,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stochastic-rounding int8 quantization of a [K, N] weight (per-column).
 
     Stochastic rounding makes the quantization unbiased — the standard trick
-    for quantized training/inference stacks.
+    for quantized training/inference stacks. Gridded over column blocks so
+    the VMEM working set is [K, block_n] (+ temporaries) regardless of N —
+    a whole ViT-L MLP kernel would otherwise blow the 16MB scoped limit.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     k, n = w.shape
+    bn = min(block_n, n)
+    n_pad = ((n + bn - 1) // bn) * bn
+    w_p = jnp.pad(w, ((0, 0), (0, n_pad - n)))
     seed_arr = jnp.asarray([seed], jnp.int32)
-    return pl.pallas_call(
+    values, scales = pl.pallas_call(
         _quant_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((k, n), jnp.int8),
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((k, n_pad), jnp.int8),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
         ),
+        grid=(n_pad // bn,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda j: (0, j)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda j: (0, j)),
+            pl.BlockSpec((1, bn), lambda j: (0, j)),
         ),
         interpret=interpret,
-    )(w, seed_arr)
+    )(w_p, seed_arr)
+    return values[:, :n], scales[:, :n]
 
 
 def int8_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,

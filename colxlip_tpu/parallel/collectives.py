@@ -28,6 +28,12 @@ def axis_rank(axis_name) -> jnp.ndarray:
     return jax.lax.axis_index(axis_name)
 
 
+def ring_shift(x, axis_name, shift: int = 1):
+    """Move each device's x to (rank + shift) % world over the ICI ring."""
+    n = jax.lax.axis_size(axis_name)
+    return jax.lax.ppermute(x, axis_name, [(i, (i + shift) % n) for i in range(n)])
+
+
 def gather_features(
     features: jnp.ndarray,
     *,

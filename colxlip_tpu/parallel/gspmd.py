@@ -69,15 +69,31 @@ def shard_state(state: TrainState, mesh: Mesh) -> Tuple[TrainState, Any]:
 
     new_params = jax.tree.map(place, state.params, param_specs)
 
-    shapes_to_spec = {}
-    for p, s in zip(jax.tree.leaves(state.params), jax.tree.leaves(param_specs)):
-        shapes_to_spec.setdefault(p.shape, s)
+    # Optimizer moments are matched to params by PATH SUFFIX (e.g. the adam
+    # mu leaf at (0, mu, params, visual, ..., kernel) matches the param at
+    # (params, visual, ..., kernel)) — shape-only matching would collide
+    # same-shaped params with different specs (q_proj vs out_proj kernels).
+    def path_names(path):
+        return tuple(str(getattr(k, "key", getattr(k, "name", getattr(k, "idx", k))))
+                     for k in path)
 
-    def place_opt_leaf(x):
-        spec = shapes_to_spec.get(getattr(x, "shape", None), P())
-        return place(x, spec)
+    spec_by_path = {}
+    for (path, leaf), spec in zip(
+        jax.tree_util.tree_flatten_with_path(state.params)[0],
+        jax.tree.leaves(param_specs),
+    ):
+        spec_by_path[path_names(path)] = (spec, leaf.shape)
 
-    new_opt = jax.tree.map(place_opt_leaf, state.opt_state)
+    def place_opt_leaf(path, x):
+        names = path_names(path)
+        shape = getattr(x, "shape", None)
+        for start in range(len(names)):
+            hit = spec_by_path.get(names[start:])
+            if hit is not None and hit[1] == shape:
+                return place(x, hit[0])
+        return place(x, P())
+
+    new_opt = jax.tree_util.tree_map_with_path(place_opt_leaf, state.opt_state)
     return TrainState(place(state.step, P()), new_params, new_opt), param_specs
 
 

@@ -68,7 +68,8 @@ def compute_loss(out: Dict[str, jnp.ndarray], cfg: TrainStepConfig,
             out["logit_scale"], alpha=cfg.alpha, axis_name=axis_name,
             local_loss=cfg.local_loss, gather_with_grad=cfg.gather_with_grad,
             logit_bias=out.get("logit_bias"), maxsim_impl=cfg.maxsim_impl,
-            mask_mode=cfg.mask_mode, token_dist=cfg.token_dist, output_dict=True,
+            mask_mode=cfg.mask_mode, token_dist=cfg.token_dist,
+            text_mask=out.get("text_mask"), output_dict=True,
         )
     if cfg.loss_type == "clip":
         total = clip_loss(
@@ -139,7 +140,7 @@ def make_train_step(
     axis_name = DATA_AXIS if mesh is not None else None
     teacher_model, teacher_params = teacher if teacher is not None else (None, None)
 
-    def loss_fn(params, images, texts):
+    def forward(params, images, texts):
         out = model.apply(params, images, texts, train=True)
         if teacher_model is not None:
             t_out = teacher_model.apply(teacher_params, images, texts)
@@ -147,6 +148,17 @@ def make_train_step(
             out["dist_image_features"] = jax.lax.stop_gradient(t_out["image_features"])
             out["dist_text_features"] = jax.lax.stop_gradient(t_out["text_features"])
             out["dist_logit_scale"] = jax.lax.stop_gradient(t_out["logit_scale"])
+        if cfg.mask_mode == "valid" and "token_text_features" in out:
+            # validity mask matching the encoder's EOT zeroing: positions
+            # strictly before argmax(EOT) are real text tokens
+            eot = jnp.argmax(texts, axis=-1)
+            out["text_mask"] = (
+                jnp.arange(texts.shape[1])[None, :] < eot[:, None]
+            ).astype(jnp.float32)
+        return out
+
+    def loss_fn(params, images, texts):
+        out = forward(params, images, texts)
         losses = compute_loss(out, cfg, axis_name)
         return losses["total_loss"], (losses, out["logit_scale"])
 
@@ -164,27 +176,30 @@ def make_train_step(
         tx_ = texts.reshape(n, b, *texts.shape[1:])
 
         def encode(mb):
-            out = model.apply(params, mb[0], mb[1], train=True)
-            return {k: v for k, v in out.items()
-                    if k.endswith("features")}, out["logit_scale"]
+            out = forward(params, mb[0], mb[1])
+            # cache every batch-dim output (the reference caches all model
+            # outputs except the scalars, train.py:146-150) so coca logits/
+            # labels and distill features splice too
+            batched = {k: v for k, v in out.items()
+                       if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == b}
+            scalars = {k: v for k, v in out.items() if k not in batched}
+            return batched, scalars
 
-        cached, logit_scale = jax.lax.map(
-            lambda mb: encode(mb), (im, tx_)
-        )
+        cached, scalars0 = jax.lax.map(lambda mb: encode(mb), (im, tx_))
         cached = jax.lax.stop_gradient(cached)
-        logit_scale = logit_scale[0]
+        logit_scale = jax.tree.map(lambda x: x[0], scalars0)["logit_scale"]
 
         def one_micro(j):
             def inner(params):
-                out_j = model.apply(params, im[j], tx_[j], train=True)
+                out_j = forward(params, im[j], tx_[j])
                 spliced = {}
                 for k, bank in cached.items():
                     live = out_j[k]
                     full = jax.lax.dynamic_update_index_in_dim(bank, live, j, 0)
                     spliced[k] = full.reshape(n * b, *bank.shape[2:])
-                spliced["logit_scale"] = out_j["logit_scale"]
-                if "logit_bias" in out_j:
-                    spliced["logit_bias"] = out_j["logit_bias"]
+                for k, v in out_j.items():
+                    if k not in spliced:
+                        spliced[k] = v
                 losses = compute_loss(spliced, cfg, axis_name)
                 return losses["total_loss"], losses
             return jax.grad(inner, has_aux=True)(params)
