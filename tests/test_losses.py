@@ -243,3 +243,50 @@ def test_colclip_ring_token_dist_matches_gather(rng, gather_with_grad):
     g_gather = jax.grad(lambda a, b: make("gather")(i, t, a, b))(ti, tt)
     np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_gather),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_colclip_ring_respects_no_grad_gather(rng):
+    """token_dist='ring' with gather_with_grad=False must match the gathered
+    path's gradients (remote/gathered side carries no gradient)."""
+    n = WORLD * 2
+    i, t = _pooled(rng, n=n)
+    ti, tt = _tokens(rng, n=n)
+    mesh = _mesh()
+    scale = jnp.float32(30.0)
+
+    def make(token_dist):
+        def per_device(i_, t_, ti_, tt_):
+            out = colclip_loss(
+                i_, t_, ti_, tt_, scale, alpha=0.6, axis_name="data",
+                local_loss=True, gather_with_grad=False,
+                maxsim_impl="xla", token_dist=token_dist,
+            )
+            return jax.lax.pmean(out["total_loss"], "data")
+        return jax.jit(shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P("data")),
+            out_specs=P(),
+        ))
+
+    v_ring = float(make("ring")(i, t, ti, tt))
+    v_gather = float(make("gather")(i, t, ti, tt))
+    np.testing.assert_allclose(v_ring, v_gather, rtol=1e-5)
+    g_ring = jax.grad(lambda a, b: make("ring")(i, t, a, b), argnums=(0, 1))(ti, tt)
+    g_gather = jax.grad(lambda a, b: make("gather")(i, t, a, b), argnums=(0, 1))(ti, tt)
+    for a, b in zip(g_ring, g_gather):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-8)
+
+
+def test_colclip_valid_mask_mode(rng):
+    """mask_mode='valid' with an explicit text mask runs and differs from
+    'nonzero' (padded-but-nonzero projected tokens excluded from the mean)."""
+    n = 8
+    i, t = _pooled(rng, n=n)
+    ti, tt = _tokens(rng, n=n, lt=7)
+    mask = jnp.asarray((rng.random((n, 7)) > 0.4).astype(np.float32)).at[:, 0].set(1.0)
+    out_valid = colclip_loss(i, t, ti, tt, 30.0, alpha=0.5, maxsim_impl="xla",
+                             mask_mode="valid", text_mask=mask)
+    out_nonzero = colclip_loss(i, t, ti, tt, 30.0, alpha=0.5, maxsim_impl="xla")
+    assert np.isfinite(float(out_valid["total_loss"]))
+    assert abs(float(out_valid["token_contrastive_loss"])
+               - float(out_nonzero["token_contrastive_loss"])) > 1e-6

@@ -153,3 +153,52 @@ def test_ring_token_dist_in_mesh_step(setup):
     np.testing.assert_allclose(float(m1["total_loss"]), float(m2["total_loss"]), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-6)
+
+
+def test_valid_mask_mode_in_train_step(setup):
+    """TrainStepConfig(mask_mode='valid') builds the EOT mask and trains."""
+    model, tx, state, imgs, txts = setup
+    cfg = TrainStepConfig(loss_type="colclip", mask_mode="valid", maxsim_impl="xla")
+    step = make_train_step(model, tx, cfg, donate=False)
+    losses = []
+    for _ in range(3):
+        state, m = step(state, imgs, txts)
+        losses.append(float(m["total_loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_coca_with_accum(setup):
+    """coca + accum_freq>1: all outputs cached/spliced (review regression)."""
+    import jax as _jax
+    from colxlip_tpu.models.coca import CoCa, MultimodalCfg
+    from colxlip_tpu.models import CLIPCfg, get_model_config
+
+    cfg_m = CLIPCfg.from_dict(get_model_config("ViT-S-16-test"))
+    model = CoCa(cfg_m, MultimodalCfg(context_length=CTX - 1, width=128,
+                                      heads=4, layers=2), dtype=jnp.float32)
+    from colxlip_tpu.training.optim import create_optimizer
+    tx = create_optimizer(1e-3, weight_decay=0.1)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.standard_normal((8, 64, 64, 3)).astype(np.float32))
+    txts_np = np.zeros((8, CTX), np.int32)
+    txts_np[:, 0] = 49406
+    txts_np[:, 1:5] = rng.integers(1, 40000, (8, 4))
+    txts_np[:, 5] = 49407
+    txts = jnp.asarray(txts_np)
+    state = init_train_state(model, tx, _jax.random.PRNGKey(0), imgs, txts)
+    step = make_train_step(model, tx, TrainStepConfig(loss_type="coca", accum_freq=2),
+                           donate=False)
+    state, m = step(state, imgs, txts)
+    assert np.isfinite(float(m["total_loss"]))
+
+
+def test_distill_with_accum(setup):
+    """distill + accum_freq>1: teacher runs per microbatch (review regression)."""
+    model, tx, state, imgs, txts = setup
+    teacher_params = jax.tree.map(lambda x: x * 1.01, state.params)
+    cfg = TrainStepConfig(loss_type="distill", accum_freq=2)
+    step = make_train_step(model, tx, cfg, donate=False,
+                           teacher=(model, teacher_params))
+    state, m = step(state, imgs, txts)
+    assert np.isfinite(float(m["total_loss"]))
+    assert np.isfinite(float(m["distill_loss"]))
