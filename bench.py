@@ -3,15 +3,15 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: images/sec/chip for the full bf16 training step (both towers forward
-+ backward + AdamW update) with the global-batch CLIP InfoNCE loss over the
-local batch — the per-chip compute of the north-star 32k-global-batch run
++ backward + AdamW update) in the HONEST FLAGSHIP configuration — the colclip
+token-level MaxSim loss with reference-parity erf-GELU numerics — over the
+local batch: the per-chip compute of the north-star 32k-global-batch run
 (BASELINE.md: target >= 3000 img/s/chip on v5e), minus cross-chip collectives
-(single-chip benchmark). ``--loss colclip`` additionally exercises the
-token-level MaxSim loss.
+(single-chip benchmark). A secondary measurement with the plain CLIP InfoNCE
+loss is embedded in the same JSON object under "secondary".
 """
 import argparse
 import json
-import sys
 import time
 
 
@@ -19,19 +19,24 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="ViT-B-16-colxlip")
     p.add_argument("--batch-size", type=int, default=256)
-    p.add_argument("--loss", default="clip", choices=["clip", "colclip", "siglip"])
+    p.add_argument("--loss", default="colclip",
+                   choices=["clip", "colclip", "siglip"])
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--remat", action="store_true")
-    p.add_argument("--exact-gelu", action="store_true",
-                   help="erf GELU (reference-parity numerics; ~14%% slower)")
+    p.add_argument("--gelu", default="erf", choices=["erf", "tanh"],
+                   help="erf = reference-parity numerics (default); "
+                        "tanh = faster VPU approximation")
+    p.add_argument("--no-secondary", action="store_true",
+                   help="skip the secondary clip-loss measurement")
     p.add_argument("--baseline", type=float, default=3000.0)
     args = p.parse_args()
 
     import os
     import jax
-    jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
@@ -44,11 +49,8 @@ def main():
 
     import dataclasses
     cfg = CLIPCfg.from_dict(get_model_config(args.model))
-    # default: tanh-approx GELU, the framework's fast training configuration
-    # (erf costs ~14% on the VPU; --exact-gelu for reference-parity numerics)
-    cfg = dataclasses.replace(cfg, gelu_approximate=not args.exact_gelu)
+    cfg = dataclasses.replace(cfg, gelu_approximate=args.gelu == "tanh")
     model = ColXLIP(cfg, dtype=jnp.bfloat16, remat=args.remat)
-    tx = create_optimizer(cosine_lr(1e-3, 100, 10000), weight_decay=0.2)
 
     b = args.batch_size
     s = args.image_size
@@ -60,33 +62,46 @@ def main():
     texts_np[:, 20] = 49407
     texts = jnp.asarray(texts_np)
 
-    state = init_train_state(model, tx, jax.random.PRNGKey(0), images[:2], texts[:2])
-    # donate=True: buffer reuse is the real training configuration (and queued
-    # non-donated steps OOM the chip)
-    step = make_train_step(
-        model, tx, TrainStepConfig(loss_type=args.loss), donate=True,
-    )
-
-    for _ in range(args.warmup):
+    def measure(loss_type):
+        tx = create_optimizer(cosine_lr(1e-3, 100, 10000), weight_decay=0.2)
+        state = init_train_state(
+            model, tx, jax.random.PRNGKey(0), images[:2], texts[:2])
+        # donate=True: buffer reuse is the real training configuration (and
+        # queued non-donated steps OOM the chip)
+        step = make_train_step(
+            model, tx, TrainStepConfig(loss_type=loss_type), donate=True,
+        )
         state, metrics = step(state, images, texts)
-    jax.block_until_ready(jax.device_get(metrics["total_loss"]))
+        for _ in range(args.warmup - 1):
+            state, metrics = step(state, images, texts)
+        jax.block_until_ready(jax.device_get(metrics["total_loss"]))
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, metrics = step(state, images, texts)
-    # device_get forces full execution of the chained steps (a bare
-    # block_until_ready proved unreliable over the remote-execution relay)
-    jax.device_get(metrics["total_loss"])
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, metrics = step(state, images, texts)
+        # device_get forces full execution of the chained steps (a bare
+        # block_until_ready proved unreliable over the remote-execution relay)
+        jax.device_get(metrics["total_loss"])
+        dt = time.perf_counter() - t0
+        del state
+        return args.steps * b / dt
 
-    ips = args.steps * b / dt
-    print(json.dumps({
-        "metric": f"images/sec/chip ({args.model}, bf16 train step, {args.loss} loss, batch {b}"
-                  + (", erf-gelu" if args.exact_gelu else "") + ")",
+    ips = measure(args.loss)
+    result = {
+        "metric": f"images/sec/chip ({args.model}, bf16 train step, "
+                  f"{args.loss} loss, {args.gelu}-gelu, batch {b})",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / args.baseline, 4),
-    }))
+    }
+    if args.loss != "clip" and not args.no_secondary:
+        clip_ips = measure("clip")
+        result["secondary"] = {
+            "metric": f"images/sec/chip (clip loss, {args.gelu}-gelu, batch {b})",
+            "value": round(clip_ips, 1),
+            "vs_baseline": round(clip_ips / args.baseline, 4),
+        }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
