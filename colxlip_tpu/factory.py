@@ -53,6 +53,7 @@ def create_model(
         raise RuntimeError(
             f"Model config for {model_name} not found; available: {list_models()}"
         )
+    multimodal_dict = cfg_dict.pop("multimodal_cfg", None)
     cfg = CLIPCfg.from_dict(cfg_dict)
     if quick_gelu is not None:
         cfg = dataclasses.replace(cfg, quick_gelu=quick_gelu)
@@ -65,6 +66,19 @@ def create_model(
     cfg = dataclasses.replace(cfg, alpha=alpha, gelu_approximate=gelu_approximate)
 
     policy = PrecisionPolicy.from_precision(precision)
+    if "coca" in model_name.lower():
+        # CoCa branch (reference factory.py create_loss selects CoCaLoss on
+        # the name; open_clip builds the CoCa class from multimodal_cfg)
+        from .models.coca import CoCa, MultimodalCfg
+
+        model = CoCa(
+            cfg,
+            multimodal_cfg=MultimodalCfg.from_dict(multimodal_dict or {}),
+            dtype=policy.compute_dtype,
+            param_dtype=policy.param_dtype,
+            remat=grad_checkpointing,
+        )
+        return model, cfg
     model_cls = ColXLIP if "colxlip" in model_name.lower() else CLIP
     model = model_cls(
         cfg,
@@ -158,24 +172,34 @@ def create_model_and_transforms(
 
 
 def get_tokenizer(
-    model_name: str = "", context_length: Optional[int] = None, **kwargs
+    model_name: str = "", context_length: Optional[int] = None,
+    require_merges: bool = False, **kwargs
 ) -> SimpleTokenizer:
-    """Tokenizer for a registered model (reference factory.py:87-128)."""
+    """Tokenizer for a registered model (reference factory.py:87-128).
+
+    ``require_merges=True`` hard-fails when the real CLIP BPE merge table is
+    absent — pass it whenever pretrained weights are in play, since the
+    zero-merges fallback silently destroys text-side checkpoint parity.
+    """
     cfg_dict = get_model_config(model_name) if model_name else None
     if context_length is None:
         if cfg_dict is not None:
             context_length = cfg_dict.get("text_cfg", {}).get("context_length", 77)
         else:
             context_length = 77
-    return SimpleTokenizer(context_length=context_length, **kwargs)
+    return SimpleTokenizer(
+        context_length=context_length, strict=require_merges, **kwargs)
 
 
 def create_loss(args) -> TrainStepConfig:
     """Map driver args to the train-step loss config (factory.py:424-461):
-    'colxlip' in model name -> ColCLIP alpha-mix; --siglip -> SigLIP;
+    'coca' in model name -> CoCa contrastive+caption; --siglip -> SigLIP;
+    'colxlip' in model name -> ColCLIP alpha-mix; distill pair -> KD;
     otherwise plain CLIP InfoNCE."""
     model_name = getattr(args, "model", "")
-    if getattr(args, "distill_model", None) and getattr(args, "distill_pretrained", None):
+    if "coca" in model_name.lower():
+        loss_type = "coca"
+    elif getattr(args, "distill_model", None) and getattr(args, "distill_pretrained", None):
         loss_type = "distill"
     elif getattr(args, "siglip", False):
         loss_type = "siglip"
@@ -192,5 +216,9 @@ def create_loss(args) -> TrainStepConfig:
         maxsim_impl=getattr(args, "maxsim_impl", "auto"),
         ce_impl=getattr(args, "ce_impl", "dense"),
         token_dist=getattr(args, "token_dist", "gather"),
+        mask_mode=getattr(args, "token_mask_mode", "nonzero"),
         dist_impl=getattr(args, "dist_impl", None) or "bidir",
+        coca_caption_loss_weight=getattr(args, "coca_caption_loss_weight", 2.0),
+        coca_contrastive_loss_weight=getattr(
+            args, "coca_contrastive_loss_weight", 1.0),
     )

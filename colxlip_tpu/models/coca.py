@@ -46,6 +46,11 @@ class MultimodalCfg:
     mlp_ratio: float = 4.0
     ls_init_value: Optional[float] = None
 
+    @classmethod
+    def from_dict(cls, d: dict) -> "MultimodalCfg":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
 
 class CrossResidualBlock(nn.Module):
     """Self-attn (causal) + cross-attn + MLP (transformer.py:1121-1160)."""
@@ -165,17 +170,21 @@ class CoCa(nn.Module):
     multimodal_cfg: MultimodalCfg = dataclasses.field(default_factory=MultimodalCfg)
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    remat: bool = False
 
     def setup(self):
         act = quick_gelu if self.cfg.quick_gelu else gelu
         self.visual = VisionTransformer(
             self.cfg.vision_cfg, embed_dim=self.cfg.embed_dim, act=act,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="visual",
+            dtype=self.dtype, param_dtype=self.param_dtype, remat=self.remat,
+            name="visual",
         )
         # pools vision-width tokens into multimodal-width query slots
         # (open_clip: AttentionalPooler(output_dim, vision_width))
         self.img_attn_pool = AttentionalPooler(
-            self.multimodal_cfg.width, n_head=8, n_queries=256,
+            self.multimodal_cfg.width,
+            n_head=self.cfg.vision_cfg.attn_pooler_heads,
+            n_queries=self.cfg.vision_cfg.attn_pooler_queries,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn_pool",
         )
         self.text = CoCaTextTower(

@@ -56,6 +56,9 @@ class TrainStepConfig:
     mask_mode: str = "nonzero"
     dist_impl: str = "bidir"              # siglip negative exchange
     clamp_logit_scale: bool = True
+    # CoCa loss weights (reference params.py --coca-*-loss-weight defaults)
+    coca_caption_loss_weight: float = 2.0
+    coca_contrastive_loss_weight: float = 1.0
 
 
 def compute_loss(out: Dict[str, jnp.ndarray], cfg: TrainStepConfig,
@@ -83,6 +86,8 @@ def compute_loss(out: Dict[str, jnp.ndarray], cfg: TrainStepConfig,
         d = coca_loss(
             out["image_features"], out["text_features"], out["logits"],
             out["labels"], out["logit_scale"],
+            caption_loss_weight=cfg.coca_caption_loss_weight,
+            clip_loss_weight=cfg.coca_contrastive_loss_weight,
             axis_name=axis_name, local_loss=cfg.local_loss,
             gather_with_grad=cfg.gather_with_grad, output_dict=True,
         )

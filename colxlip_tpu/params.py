@@ -86,7 +86,11 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--log-local", action="store_true", default=False)
     parser.add_argument("--name", type=str, default=None)
     parser.add_argument("--report-to", type=str, default="",
-                        help="comma-separated: tensorboard,jsonl")
+                        help="comma-separated: tensorboard,wandb,jsonl")
+    parser.add_argument("--wandb-notes", type=str, default="",
+                        help="wandb run notes (reference params.py)")
+    parser.add_argument("--wandb-project-name", type=str, default="colxlip_tpu",
+                        help="wandb project (reference params.py)")
     parser.add_argument("--debug", default=False, action="store_true")
     parser.add_argument("--copy-codebase", default=False, action="store_true")
 
@@ -125,6 +129,11 @@ def parse_args(args=None) -> argparse.Namespace:
     # model
     parser.add_argument("--model", type=str, default="ViT-B-32-colxlip")
     parser.add_argument("--pretrained", type=str, default="")
+    parser.add_argument("--allow-degraded-tokenizer", default=False,
+                        action="store_true",
+                        help="permit the zero-merges BPE fallback together "
+                             "with --pretrained (text parity WILL be wrong; "
+                             "fetch the real table: scripts/fetch_assets.py)")
     parser.add_argument("--precision", type=str, default="bf16",
                         choices=["bf16", "pure_bf16", "fp32", "amp", "amp_bf16"])
     parser.add_argument("--force-quick-gelu", default=False, action="store_true")
@@ -144,6 +153,17 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--local-loss", default=False, action="store_true")
     parser.add_argument("--gather-with-grad", default=False, action="store_true")
     parser.add_argument("--siglip", default=False, action="store_true")
+    parser.add_argument("--coca-caption-loss-weight", type=float, default=2.0,
+                        help="caption CE weight for CoCa models "
+                             "(reference params.py:910-914)")
+    parser.add_argument("--coca-contrastive-loss-weight", type=float, default=1.0,
+                        help="contrastive weight for CoCa models "
+                             "(reference params.py:922-926)")
+    parser.add_argument("--token-mask-mode", type=str, default="nonzero",
+                        choices=["nonzero", "valid"],
+                        help="token-loss text mask: 'nonzero' = reference "
+                             "masked-mean semantics (loss.py:38-44); 'valid' = "
+                             "explicit pre-EOT validity mask")
     parser.add_argument("--distill-model", type=str, default=None)
     parser.add_argument("--distill-pretrained", type=str, default=None)
     parser.add_argument("--dist-impl", type=str, default=None,

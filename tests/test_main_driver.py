@@ -45,3 +45,34 @@ def test_main_synthetic_train_checkpoint_resume(tmp_path):
     argv_resume += ["--resume", "latest"]
     assert main(argv_resume) == 0
     assert os.path.isdir(os.path.join(ckpt_dir, "epoch_3"))
+
+
+@pytest.mark.slow
+def test_main_coca_synthetic_train(tmp_path):
+    """CoCa is trainable from the CLI: 'coca' in the model name selects the
+    CoCa model + contrastive/caption loss (reference factory.py:424-435)."""
+    logs = str(tmp_path / "logs")
+    argv = [
+        "--model", "coca-S-test",
+        "--dataset-type", "synthetic",
+        "--train-num-samples", "32",
+        "--batch-size", "2",
+        "--epochs", "1",
+        "--lr", "1e-3",
+        "--warmup", "2",
+        "--precision", "fp32",
+        "--logs", logs,
+        "--name", "cocatest",
+        "--workers", "0",
+        "--log-every-n-steps", "1",
+        "--save-frequency", "1",
+        "--coca-caption-loss-weight", "1.5",
+        "--seed", "0",
+    ]
+    assert main(argv) == 0
+    metrics_path = os.path.join(logs, "cocatest", "metrics.jsonl")
+    records = [json.loads(l) for l in open(metrics_path)]
+    assert records, "no metrics logged"
+    assert all(np.isfinite(r["total_loss"]) for r in records)
+    assert all(np.isfinite(r["caption_loss"]) for r in records)
+    assert all(np.isfinite(r["contrastive_loss"]) for r in records)
