@@ -21,10 +21,14 @@ from __future__ import annotations
 import functools
 import gzip
 import html
+import logging
 import os
 from typing import Iterable, List, Optional, Sequence, Union
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
+_warned_no_merges = False
 
 try:
     import regex as re  # supports \p{L}/\p{N} classes like the original
@@ -105,7 +109,10 @@ class SimpleTokenizer:
         self,
         bpe_path: Optional[str] = None,
         context_length: int = CONTEXT_LENGTH,
+        strict: bool = False,
     ):
+        """``strict=True`` refuses to construct without the real merge table
+        (required whenever pretrained-checkpoint text parity matters)."""
         self.context_length = context_length
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
@@ -120,6 +127,21 @@ class SimpleTokenizer:
         else:
             merges = []
         self.has_merges = bool(merges)
+        if not self.has_merges:
+            msg = (
+                "CLIP BPE merge table (bpe_simple_vocab_16e6.txt.gz) not "
+                "found — tokenization will use the ZERO-MERGES byte fallback, "
+                "which is NOT bit-compatible with CLIP. Self-consistent for "
+                "training from scratch; WRONG for pretrained checkpoints. "
+                "Fetch the asset with scripts/fetch_assets.py or set "
+                f"${DEFAULT_BPE_ENV}."
+            )
+            if strict:
+                raise RuntimeError(msg)
+            global _warned_no_merges
+            if not _warned_no_merges:
+                logger.warning(msg)
+                _warned_no_merges = True
 
         vocab = list(self.byte_encoder.values())
         vocab = vocab + [v + "</w>" for v in vocab]

@@ -187,6 +187,15 @@ def main(argv=None) -> int:
             os.path.join(args.remote_sync, args.name), args.remote_sync_protocol,
         )
 
+    # Pretrained checkpoints demand bit-compatible BPE tokenization; the
+    # zero-merges fallback would silently destroy text-side parity, so it is
+    # a hard error here — before any model work (escape hatch:
+    # --allow-degraded-tokenizer).
+    tokenizer = get_tokenizer(
+        args.model,
+        require_merges=bool(args.pretrained) and not args.allow_degraded_tokenizer,
+    )
+
     # model + transforms
     model, cfg, params, preprocess_train, preprocess_val = create_model_and_transforms(
         args.model,
@@ -200,7 +209,6 @@ def main(argv=None) -> int:
         gelu_approximate=args.gelu_approx,
         seed=args.seed,
     )
-    tokenizer = get_tokenizer(args.model)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     logger.info("Model: %s (%.1fM params)", args.model, n_params / 1e6)
 
@@ -305,7 +313,12 @@ def main(argv=None) -> int:
     if mesh is not None:
         state = replicate_state(state, mesh)
 
-    writer = MetricsWriter(log_base, args.report_to) if is_master else None
+    writer = MetricsWriter(
+        log_base, args.report_to,
+        wandb_project=args.wandb_project_name, wandb_notes=args.wandb_notes,
+        run_name=args.name, resume=resume_from is not None,
+        config=vars(args),
+    ) if is_master else None
 
     for epoch in range(start_epoch, args.epochs):
         logger.info("Start epoch %d", epoch)
