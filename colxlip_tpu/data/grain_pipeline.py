@@ -126,9 +126,14 @@ class GrainTrainPipeline:
         self.urls, self.url_weights = expand_urls(cfg.urls, cfg.weights)
         if not self.urls:
             raise ValueError(f"no shards matched: {cfg.urls}")
-        if cfg.num_samples is not None:
+        num_samples = cfg.num_samples
+        if num_samples is None:
+            from .wds import get_dataset_size
+
+            num_samples = get_dataset_size(self.urls)
+        if num_samples is not None:
             self.num_batches = _round_num_batches(
-                cfg.num_samples, cfg.batch_size, cfg.world_size, cfg.num_workers
+                num_samples, cfg.batch_size, cfg.world_size, cfg.num_workers
             )
         else:
             self.num_batches = None

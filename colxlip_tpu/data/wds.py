@@ -300,6 +300,51 @@ class WdsConfig:
     decode_threads: int = 8
 
 
+def get_dataset_size(shards: Sequence[str]) -> Optional[int]:
+    """Discover the sample count from shard-directory sidecars.
+
+    open_clip_train's ``get_dataset_size`` behavior (reference data.py:277-288):
+    a ``sizes.json`` file mapping shard basename -> sample count, or a
+    ``__len__`` file holding the total. Handles multi-source (``::``) specs by
+    grouping shards per directory; returns None (caller must pass
+    --train-num-samples) if any shard is unaccounted for — a silent wrong
+    count is worse than an explicit requirement.
+    """
+    if not shards:
+        return None
+    by_dir: Dict[str, List[str]] = {}
+    for s in shards:
+        by_dir.setdefault(os.path.dirname(s), []).append(os.path.basename(s))
+    total = 0
+    for dir_path, names in by_dir.items():
+        sizes_path = os.path.join(dir_path, "sizes.json")
+        len_path = os.path.join(dir_path, "__len__")
+        if os.path.exists(sizes_path):
+            try:
+                with open(sizes_path) as f:
+                    sizes = json.load(f)
+                total += sum(int(sizes[n]) for n in names)
+                continue
+            except (KeyError, ValueError, OSError) as e:
+                logger.warning("sizes.json in %s unusable (%s)", dir_path, e)
+                return None
+        if os.path.exists(len_path):
+            # __len__ counts the whole directory; only trust it when the
+            # spec covers every shard in the dir
+            try:
+                with open(len_path) as f:
+                    n_total = int(f.read().strip())
+                n_tars = len([x for x in os.listdir(dir_path) if x.endswith(".tar")])
+                if n_tars == len(names):
+                    total += n_total
+                    continue
+            except (ValueError, OSError) as e:
+                logger.warning("__len__ in %s unusable (%s)", dir_path, e)
+            return None
+        return None
+    return total
+
+
 def _round_num_batches(num_samples: int, batch_size: int, world_size: int,
                        num_workers: int) -> int:
     """Equal-batches-per-worker rounding (data.py:317-330)."""
@@ -328,9 +373,15 @@ class WdsTrainPipeline:
         self.urls, self.url_weights = expand_urls(cfg.urls, cfg.weights)
         if not self.urls:
             raise ValueError(f"no shards matched: {cfg.urls}")
-        if cfg.num_samples is not None:
+        num_samples = cfg.num_samples
+        if num_samples is None:
+            num_samples = get_dataset_size(self.urls)
+            if num_samples is not None:
+                logger.info("dataset size from sizes.json/__len__: %d samples",
+                            num_samples)
+        if num_samples is not None:
             self.num_batches = _round_num_batches(
-                cfg.num_samples, cfg.batch_size, cfg.world_size, cfg.num_workers
+                num_samples, cfg.batch_size, cfg.world_size, cfg.num_workers
             )
         else:
             self.num_batches = None

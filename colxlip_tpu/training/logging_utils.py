@@ -5,9 +5,8 @@ Counterparts:
   - ``setup_logging`` (imported open_clip_train.logger; console + out.log,
     reference main.py:110-124)
   - params dump to params.txt (reference main.py:257-262)
-  - scalar sinks: tensorboard (optional import) + JSONL metrics stream; the
-    reference's wandb sink is gated on availability (wandb is not shipped in
-    this image)
+  - scalar sinks: tensorboard / wandb (both optional imports, reference
+    main.py:127-136,361-380) + an always-on JSONL metrics stream
 """
 from __future__ import annotations
 
@@ -65,12 +64,22 @@ def dump_params(args, path: str) -> None:
 
 
 class MetricsWriter:
-    """Scalar streams to JSONL and (if available) TensorBoard."""
+    """Scalar streams to JSONL and (if available) TensorBoard / wandb.
 
-    def __init__(self, log_dir: str, report_to: str = ""):
+    The wandb sink mirrors reference main.py:361-380: ``--report-to wandb``
+    initializes a run named after the experiment, logs every scalar with the
+    step, and finishes on close. Missing packages degrade to JSONL with a
+    warning rather than failing the run.
+    """
+
+    def __init__(self, log_dir: str, report_to: str = "",
+                 wandb_project: str = "colxlip_tpu",
+                 wandb_notes: str = "", run_name: Optional[str] = None,
+                 resume: bool = False, config: Optional[dict] = None):
         self.jsonl_path = os.path.join(log_dir, "metrics.jsonl")
         os.makedirs(log_dir, exist_ok=True)
         self._tb = None
+        self._wandb = None
         sinks = {s.strip() for s in report_to.split(",") if s.strip()}
         if "tensorboard" in sinks:
             try:
@@ -81,6 +90,23 @@ class MetricsWriter:
                 logging.getLogger(__name__).warning(
                     "tensorboard unavailable; falling back to JSONL only"
                 )
+        if "wandb" in sinks:
+            try:
+                import wandb
+
+                wandb.init(
+                    project=wandb_project,
+                    name=run_name or os.path.basename(log_dir),
+                    notes=wandb_notes,
+                    dir=log_dir,
+                    resume="auto" if resume else None,
+                    config=config or {},
+                )
+                self._wandb = wandb
+            except Exception as e:
+                logging.getLogger(__name__).warning(
+                    "wandb unavailable (%s); falling back to JSONL only", e
+                )
 
     def write(self, metrics: Dict[str, float], step: int) -> None:
         record = {"step": step, "time": time.time()}
@@ -90,7 +116,12 @@ class MetricsWriter:
         if self._tb is not None:
             for k, v in metrics.items():
                 self._tb.add_scalar(k, float(v), step)
+        if self._wandb is not None:
+            self._wandb.log(
+                {k: float(v) for k, v in metrics.items()}, step=step)
 
     def close(self):
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()

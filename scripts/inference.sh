@@ -5,7 +5,10 @@
 set -euo pipefail
 
 CKPT=${CKPT:?set CKPT to a .pt or orbax checkpoint}
-DATAROOT=${DATAROOT:-/data}
+# annotation JSONs are vendored in datasets/ (reference layout); drop the
+# suite images in next to them per datasets/EVAL_DATASETS.md, or point
+# DATAROOT at a full data directory
+DATAROOT=${DATAROOT:-"$(cd "$(dirname "$0")/.." && pwd)/datasets"}
 
 python -m colxlip_tpu.main \
     --model ViT-B-16-colxlip \

@@ -291,3 +291,117 @@ def test_grain_pipeline_native_decode(tar_shards):
     batches = list(pipe)
     assert len(batches) == 2
     assert all(np.isfinite(b[0]).all() and np.abs(b[0]).sum() > 0 for b in batches)
+
+
+# ---------------------------------------------------------------------------
+# vendored eval annotation assets (datasets/, copied from the reference repo
+# per VERDICT r1 item 8) parse through the real readers
+# ---------------------------------------------------------------------------
+
+DATASETS_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "datasets")
+
+
+def test_vendored_coco_annotations_parse():
+    from colxlip_tpu.data.retrieval import read_coco_pairs
+
+    pairs = read_coco_pairs(os.path.join(DATASETS_DIR, "coco"), split="val")
+    assert len(pairs) > 20000  # 5k images x ~5 captions
+    img_ids = {p.image_id for p in pairs}
+    assert len(img_ids) == 5000
+    assert all(p.caption for p in pairs[:100])
+
+
+def test_vendored_urban1k_annotations_parse():
+    from colxlip_tpu.data.retrieval import read_urban1k_pairs
+
+    pairs = read_urban1k_pairs(os.path.join(DATASETS_DIR, "Urban1k"))
+    assert len(pairs) == 1000
+    assert len({p.image_id for p in pairs}) == 1000
+
+
+def test_vendored_flickr_annotations_parse():
+    from colxlip_tpu.data.retrieval import read_flickr_pairs
+
+    pairs = read_flickr_pairs(
+        os.path.join(DATASETS_DIR, "flickr30k-images"), split="val")
+    assert len(pairs) >= 1000
+    # per-image caption lists: several captions per image id
+    by_img = {}
+    for p in pairs:
+        by_img.setdefault(p.image_id, []).append(p.caption_id)
+    assert max(len(v) for v in by_img.values()) >= 2
+
+
+def test_vendored_iiw_finegrained_annotations_parse():
+    from colxlip_tpu.data.retrieval import read_iiw_pairs
+
+    pairs = read_iiw_pairs(
+        os.path.join(DATASETS_DIR, "imageinwords"), finegrained=True)
+    assert len(pairs) > 100
+    assert all(p.caption for p in pairs[:50])
+
+
+def test_vendored_suite_groundtruth_maps(tmp_path):
+    """RetrievalSuite over the vendored Urban1k annotations builds dense,
+    consistent gt maps (tokenizer/transform not needed for map checks)."""
+    from colxlip_tpu.data.retrieval import RetrievalSuite, read_urban1k_pairs
+
+    pairs = read_urban1k_pairs(os.path.join(DATASETS_DIR, "Urban1k"))
+    suite = RetrievalSuite("urban_1k", pairs, tokenizer=None, transform=None)
+    assert suite.num_images == 1000 and suite.num_texts == 1000
+    for cap_idx, img_idx in list(suite.txt2img.items())[:50]:
+        assert cap_idx in suite.img2txt[img_idx]
+
+
+def test_get_dataset_size_sidecars(tmp_path):
+    """sizes.json / __len__ discovery (open_clip_train data.py:277-288)."""
+    from colxlip_tpu.data.wds import get_dataset_size
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    for i in range(3):
+        (d / f"shard-{i:04d}.tar").write_bytes(b"")
+    shards = [str(d / f"shard-{i:04d}.tar") for i in range(3)]
+
+    # nothing present -> None (caller must pass --train-num-samples)
+    assert get_dataset_size(shards) is None
+
+    # sizes.json: per-shard counts, summed over the requested subset
+    (d / "sizes.json").write_text(json.dumps({
+        "shard-0000.tar": 100, "shard-0001.tar": 150, "shard-0002.tar": 250,
+    }))
+    assert get_dataset_size(shards) == 500
+    assert get_dataset_size(shards[:2]) == 250
+
+    # missing entry -> None, not a wrong count
+    (d / "sizes.json").write_text(json.dumps({"shard-0000.tar": 100}))
+    assert get_dataset_size(shards) is None
+
+    # __len__ fallback: trusted only when the spec covers every tar in dir
+    (d / "sizes.json").unlink()
+    (d / "__len__").write_text("4242")
+    assert get_dataset_size(shards) == 4242
+    assert get_dataset_size(shards[:2]) is None
+
+    # multi-source: group by directory and sum
+    d2 = tmp_path / "shards2"
+    d2.mkdir()
+    (d2 / "x-0000.tar").write_bytes(b"")
+    (d2 / "sizes.json").write_text(json.dumps({"x-0000.tar": 58}))
+    assert get_dataset_size(shards + [str(d2 / "x-0000.tar")]) == 4300
+
+
+def test_wds_pipeline_uses_sizes_json(tmp_path):
+    """WdsTrainPipeline derives num_batches from sizes.json when
+    --train-num-samples is absent."""
+    from colxlip_tpu.data.wds import WdsConfig, WdsTrainPipeline
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    # construction only expands urls + counts; the tar needn't be readable
+    shard = d / "shard-0000.tar"
+    shard.write_bytes(b"")
+    (d / "sizes.json").write_text(json.dumps({"shard-0000.tar": 8}))
+    cfg = WdsConfig(urls=str(shard), batch_size=4, num_workers=1)
+    pipe = WdsTrainPipeline(cfg, transform=None, tokenizer=None)
+    assert pipe.num_batches == 2

@@ -144,3 +144,34 @@ def test_evaluate_writes_results_jsonl(fake_coco, tmp_path):
     logged = json.loads(results.read_text().splitlines()[-1])
     assert logged["epoch"] == 3
     assert "coco_text_to_image_R@1" in logged
+
+
+def test_check_parity_script(tmp_path):
+    """scripts/check_parity.py: within-tolerance passes, misses fail."""
+    import json as _json
+    import subprocess
+    import sys
+
+    results = tmp_path / "results.jsonl"
+    results.write_text(_json.dumps({
+        "epoch": 1, "coco_image_to_text_R@1": 0.401,
+        "coco_text_to_image_R@1": 0.30,
+    }) + "\n")
+    expected = tmp_path / "expected.json"
+    script = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                          "scripts", "check_parity.py")
+
+    expected.write_text(_json.dumps({
+        "checkpoint": "t", "tolerance": 0.005,
+        "metrics": {"coco_image_to_text_R@1": 0.400,
+                    "coco_text_to_image_R@1": 0.298},
+    }))
+    rc = subprocess.run([sys.executable, script, str(results), str(expected)])
+    assert rc.returncode == 0
+
+    expected.write_text(_json.dumps({
+        "checkpoint": "t", "tolerance": 0.005,
+        "metrics": {"coco_image_to_text_R@1": 0.45},
+    }))
+    rc = subprocess.run([sys.executable, script, str(results), str(expected)])
+    assert rc.returncode == 1
