@@ -4,13 +4,17 @@ Counterpart of reference ``train_one_epoch`` (src/colxlip/train.py:93-270):
 per-step LR comes from the optax schedule compiled into the step; the loop
 keeps the reference's meters (data_time, batch_time, samples/s and
 samples/s/device, train.py:236-243), caption-0 selection (train.py:122), and
-periodic logging. Device feeding overlaps host decode with device compute via
-jax's async dispatch (no explicit prefetch thread needed for a first cut: the
-jitted step call returns before the device finishes).
+periodic logging. Device feeding runs in a background prefetch thread of
+depth 2: host decode + host->device transfer of batch i+1/i+2 overlap the
+device compute of batch i (the reference gets this from DataLoader workers +
+non_blocking copies, train.py:124-125; async dispatch alone does NOT overlap
+the host-side iterator work).
 """
 from __future__ import annotations
 
 import logging
+import queue
+import threading
 import time
 from typing import Dict, Iterable, Optional
 
@@ -30,6 +34,75 @@ def select_caption0(texts: np.ndarray) -> np.ndarray:
     return texts
 
 
+class _PrefetchIterator:
+    """Background thread pulls host batches, ships them to device, and keeps
+    up to ``depth`` device-resident batches in flight.
+
+    Exceptions from the pipeline re-raise in the consumer. ``close()`` stops
+    the producer promptly when the consumer exits early (steps_per_epoch cut).
+    """
+
+    _DONE = object()
+
+    def __init__(self, dataloader: Iterable, feeder=None, depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._feeder = feeder
+        self._it = iter(dataloader)
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    def _ship(self, images, texts):
+        texts = select_caption0(np.asarray(texts))
+        images = np.asarray(images, np.float32)
+        if self._feeder is not None:
+            return self._feeder(images, texts)
+        return jnp.asarray(images), jnp.asarray(texts)
+
+    def _produce(self):
+        try:
+            for batch in self._it:
+                item = self._ship(*batch)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
+            item = self._DONE
+        except Exception as e:  # noqa: BLE001 — re-raised in the consumer
+            item = e
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.5)
+                return
+            except queue.Full:
+                continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._DONE:
+            raise StopIteration
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def close(self):
+        self._stop.set()
+        # drain so a blocked put wakes up
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)
+
+
 def train_one_epoch(
     step_fn,
     state,
@@ -44,63 +117,66 @@ def train_one_epoch(
     lr_schedule=None,
     profiler_dir: Optional[str] = None,
     feeder=None,
+    prefetch_depth: int = 2,
 ):
     """Run one epoch; returns (state, steps_run)."""
     batch_time_m = AverageMeter()
     data_time_m = AverageMeter()
     loss_meters: Dict[str, AverageMeter] = {}
 
+    prefetch = _PrefetchIterator(dataloader, feeder=feeder, depth=prefetch_depth)
     end = time.perf_counter()
     steps_run = 0
     metrics = {}
-    for i, (images, texts) in enumerate(dataloader):
-        if steps_per_epoch is not None and i >= steps_per_epoch:
-            break
-        texts = select_caption0(np.asarray(texts))
-        if feeder is not None:
-            images, texts = feeder(np.asarray(images, np.float32), texts)
-        data_time_m.update(time.perf_counter() - end)
+    try:
+        for i, (images, texts) in enumerate(prefetch):
+            if steps_per_epoch is not None and i >= steps_per_epoch:
+                break
+            # with prefetch, data_time measures true starvation (queue wait)
+            data_time_m.update(time.perf_counter() - end)
 
-        if profiler_dir and i == 2:
-            jax.profiler.start_trace(profiler_dir)
-        state, metrics = step_fn(state, jnp.asarray(images), jnp.asarray(texts))  # noqa: E501  (feeder outputs pass through asarray unchanged)
-        if profiler_dir and i == 4:
-            jax.block_until_ready(metrics["total_loss"])
-            jax.profiler.stop_trace()
+            if profiler_dir and i == 2:
+                jax.profiler.start_trace(profiler_dir)
+            state, metrics = step_fn(state, images, texts)
+            if profiler_dir and i == 4:
+                jax.block_until_ready(metrics["total_loss"])
+                jax.profiler.stop_trace()
 
-        steps_run += 1
-        step_idx = int(jax.device_get(state.step))
+            steps_run += 1
+            step_idx = int(jax.device_get(state.step))
 
-        if (i % log_every_n_steps) == 0 or (
-            steps_per_epoch is not None and i == steps_per_epoch - 1
-        ):
-            # sync point: materialize metrics
-            host_metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
-            batch_time_m.update(time.perf_counter() - end)
-            for k, v in host_metrics.items():
-                loss_meters.setdefault(k, AverageMeter()).update(v)
-            samples_per_s = global_batch_size / max(batch_time_m.val, 1e-9)
-            lr = float(lr_schedule(step_idx)) if lr_schedule is not None else float("nan")
-            logger.info(
-                "Train Epoch: %d [step %d] total_loss: %.5g "
-                "data_time: %.3f batch_time: %.3f samples/s: %.1f "
-                "samples/s/device: %.1f lr: %.3g logit_scale: %.3f",
-                epoch, step_idx, host_metrics.get("total_loss", float("nan")),
-                data_time_m.val, batch_time_m.val, samples_per_s,
-                samples_per_s / max(num_devices, 1), lr,
-                host_metrics.get("logit_scale", float("nan")),
-            )
-            if writer is not None:
-                host_metrics.update({
-                    "samples_per_second": samples_per_s,
-                    "samples_per_second_per_device": samples_per_s / max(num_devices, 1),
-                    "data_time": data_time_m.val,
-                    "batch_time": batch_time_m.val,
-                    "lr": lr,
-                    "epoch": epoch,
-                })
-                writer.write(host_metrics, step_idx)
-        end = time.perf_counter()
+            if (i % log_every_n_steps) == 0 or (
+                steps_per_epoch is not None and i == steps_per_epoch - 1
+            ):
+                # sync point: materialize metrics
+                host_metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                batch_time_m.update(time.perf_counter() - end)
+                for k, v in host_metrics.items():
+                    loss_meters.setdefault(k, AverageMeter()).update(v)
+                samples_per_s = global_batch_size / max(batch_time_m.val, 1e-9)
+                lr = float(lr_schedule(step_idx)) if lr_schedule is not None else float("nan")
+                logger.info(
+                    "Train Epoch: %d [step %d] total_loss: %.5g "
+                    "data_time: %.3f batch_time: %.3f samples/s: %.1f "
+                    "samples/s/device: %.1f lr: %.3g logit_scale: %.3f",
+                    epoch, step_idx, host_metrics.get("total_loss", float("nan")),
+                    data_time_m.val, batch_time_m.val, samples_per_s,
+                    samples_per_s / max(num_devices, 1), lr,
+                    host_metrics.get("logit_scale", float("nan")),
+                )
+                if writer is not None:
+                    host_metrics.update({
+                        "samples_per_second": samples_per_s,
+                        "samples_per_second_per_device": samples_per_s / max(num_devices, 1),
+                        "data_time": data_time_m.val,
+                        "batch_time": batch_time_m.val,
+                        "lr": lr,
+                        "epoch": epoch,
+                    })
+                    writer.write(host_metrics, step_idx)
+            end = time.perf_counter()
+    finally:
+        prefetch.close()
 
     if metrics:
         jax.block_until_ready(metrics.get("total_loss"))

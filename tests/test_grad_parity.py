@@ -85,6 +85,7 @@ def test_loss_value_parity(pair):
     np.testing.assert_allclose(float(j["total_loss"]), float(t_loss), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_gradient_parity(pair):
     """Parameter gradients agree across frameworks to 1e-3 relative."""
     tmodel, fmodel, params, imgs, txts = pair

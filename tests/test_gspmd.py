@@ -47,6 +47,7 @@ def test_partition_rules(setup):
     assert specs["params"]["visual"]["ln_pre"]["scale"] == P()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("model_parallel", [1, 4])
 def test_gspmd_step_matches_single_device(setup, model_parallel):
     model, tx, state, imgs, txts = setup
@@ -67,6 +68,7 @@ def test_gspmd_step_matches_single_device(setup, model_parallel):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-3, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_gspmd_loss_decreases_on_tp_mesh(setup):
     model, tx, state, imgs, txts = setup
     cfg = TrainStepConfig(loss_type="clip")

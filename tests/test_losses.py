@@ -186,6 +186,7 @@ def test_siglip_distributed_all_impls_match(rng, dist_impl):
     np.testing.assert_allclose(float(got), total, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_clip_loss_gradients_distributed_match_full_batch(rng):
     """gather_with_grad distributed grads == single-device full-batch grads."""
     n = WORLD * 2

@@ -51,6 +51,7 @@ def test_single_device_loss_decreases(setup):
     assert float(metrics["logit_scale"]) <= 100.0 + 1e-3
 
 
+@pytest.mark.slow
 def test_mesh_step_matches_single_device(setup):
     """shard_map step over 8 devices == single-device step on the global batch
     (gather_with_grad=True makes gradients exactly the full-batch ones)."""
@@ -73,6 +74,7 @@ def test_mesh_step_matches_single_device(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_accum_freq_one_equals_plain(setup):
     model, tx, state, imgs, txts = setup
     c1 = TrainStepConfig(loss_type="clip")
@@ -82,6 +84,7 @@ def test_accum_freq_one_equals_plain(setup):
     np.testing.assert_allclose(float(m1["total_loss"]), float(m2["total_loss"]), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_accum_freq_runs_and_decreases(setup):
     model, tx, state, imgs, txts = setup
     cfg = TrainStepConfig(loss_type="colclip", accum_freq=4, maxsim_impl="xla")
@@ -94,6 +97,7 @@ def test_accum_freq_runs_and_decreases(setup):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_accum_loss_close_to_full_batch_loss(setup):
     """First-step accumulated loss must equal the full-batch loss: the spliced
     feature bank reproduces the same global batch (values identical; only
@@ -110,6 +114,7 @@ def test_accum_loss_close_to_full_batch_loss(setup):
     )
 
 
+@pytest.mark.slow
 def test_siglip_step_on_mesh(setup):
     model, tx, state, imgs, txts = setup
     mesh = create_mesh(8)
@@ -119,6 +124,7 @@ def test_siglip_step_on_mesh(setup):
     assert np.isfinite(float(mN["total_loss"]))
 
 
+@pytest.mark.slow
 def test_distill_train_step(setup):
     """Teacher-student distillation step: finite losses, student improves."""
     model, tx, state, imgs, txts = setup
@@ -137,6 +143,7 @@ def test_distill_train_step(setup):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_ring_token_dist_in_mesh_step(setup):
     """Full train step with token_dist='ring' matches the gathered variant."""
     model, tx, state, imgs, txts = setup
@@ -155,6 +162,7 @@ def test_ring_token_dist_in_mesh_step(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-6)
 
 
+@pytest.mark.slow
 def test_valid_mask_mode_in_train_step(setup):
     """TrainStepConfig(mask_mode='valid') builds the EOT mask and trains."""
     model, tx, state, imgs, txts = setup
@@ -167,6 +175,7 @@ def test_valid_mask_mode_in_train_step(setup):
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_coca_with_accum(setup):
     """coca + accum_freq>1: all outputs cached/spliced (review regression)."""
     import jax as _jax
@@ -192,6 +201,7 @@ def test_coca_with_accum(setup):
     assert np.isfinite(float(m["total_loss"]))
 
 
+@pytest.mark.slow
 def test_distill_with_accum(setup):
     """distill + accum_freq>1: teacher runs per microbatch (review regression)."""
     model, tx, state, imgs, txts = setup
