@@ -24,12 +24,17 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--image-size", type=int, default=224)
-    p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat", nargs="?", const="full", default="",
+                   choices=["", "full", "mlp"],
+                   help="activation checkpointing: full block, or 'mlp' "
+                        "(drop only the [B,N,4D] hidden tensors)")
     p.add_argument("--gelu", default="erf", choices=["erf", "tanh"],
                    help="erf = reference-parity numerics (default); "
                         "tanh = faster VPU approximation")
     p.add_argument("--no-secondary", action="store_true",
                    help="skip the secondary clip-loss measurement")
+    p.add_argument("--maxsim-impl", default="auto",
+                   choices=["auto", "xla", "streaming", "chunked", "pallas"])
     p.add_argument("--baseline", type=float, default=3000.0)
     args = p.parse_args()
 
@@ -48,10 +53,14 @@ def main():
     from colxlip_tpu.training.schedules import cosine_lr
 
     import dataclasses
-    cfg = CLIPCfg.from_dict(get_model_config(args.model))
-    cfg = dataclasses.replace(cfg, gelu_approximate=args.gelu == "tanh")
-    model = ColXLIP(cfg, dtype=jnp.bfloat16, remat=args.remat)
+    base_cfg = CLIPCfg.from_dict(get_model_config(args.model))
+    remat = {"": False, "full": True, "mlp": "mlp"}[args.remat]
 
+    def build(gelu):
+        cfg = dataclasses.replace(base_cfg, gelu_approximate=gelu == "tanh")
+        return ColXLIP(cfg, dtype=jnp.bfloat16, remat=remat)
+
+    cfg = base_cfg
     b = args.batch_size
     s = args.image_size
     rng = np.random.default_rng(0)
@@ -62,14 +71,17 @@ def main():
     texts_np[:, 20] = 49407
     texts = jnp.asarray(texts_np)
 
-    def measure(loss_type):
+    def measure(loss_type, gelu):
+        model = build(gelu)
         tx = create_optimizer(cosine_lr(1e-3, 100, 10000), weight_decay=0.2)
         state = init_train_state(
             model, tx, jax.random.PRNGKey(0), images[:2], texts[:2])
         # donate=True: buffer reuse is the real training configuration (and
         # queued non-donated steps OOM the chip)
         step = make_train_step(
-            model, tx, TrainStepConfig(loss_type=loss_type), donate=True,
+            model, tx,
+            TrainStepConfig(loss_type=loss_type, maxsim_impl=args.maxsim_impl),
+            donate=True,
         )
         state, metrics = step(state, images, texts)
         for _ in range(args.warmup - 1):
@@ -86,7 +98,7 @@ def main():
         del state
         return args.steps * b / dt
 
-    ips = measure(args.loss)
+    ips = measure(args.loss, args.gelu)
     result = {
         "metric": f"images/sec/chip ({args.model}, bf16 train step, "
                   f"{args.loss} loss, {args.gelu}-gelu, batch {b})",
@@ -94,13 +106,17 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / args.baseline, 4),
     }
-    if args.loss != "clip" and not args.no_secondary:
-        clip_ips = measure("clip")
-        result["secondary"] = {
-            "metric": f"images/sec/chip (clip loss, {args.gelu}-gelu, batch {b})",
-            "value": round(clip_ips, 1),
-            "vs_baseline": round(clip_ips / args.baseline, 4),
-        }
+    if not args.no_secondary:
+        secondary = {}
+        if args.loss != "clip":
+            clip_ips = measure("clip", args.gelu)
+            secondary[f"clip loss, {args.gelu}-gelu"] = round(clip_ips, 1)
+        if args.gelu == "erf":
+            # tanh-GELU differs from erf by <= 4.7e-4 absolute — below bf16
+            # rounding noise at activation scale — and is ~17% faster
+            tanh_ips = measure(args.loss, "tanh")
+            secondary[f"{args.loss} loss, tanh-gelu"] = round(tanh_ips, 1)
+        result["secondary"] = secondary
     print(json.dumps(result))
 
 

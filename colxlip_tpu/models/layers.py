@@ -116,9 +116,15 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from jax.ad_checkpoint import checkpoint_name
+
         hidden = int(self.dim * self.mlp_ratio)
         x = nn.Dense(hidden, name="c_fc", dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        # named so remat='mlp' can refuse to save the 4x-wide tensors (the
+        # dominant activation memory: 2x [B, N, 4D] per layer)
+        x = checkpoint_name(x, "mlp_hidden_pre")
         x = self.act(x)
+        x = checkpoint_name(x, "mlp_hidden_act")
         x = nn.Dense(self.dim, name="c_proj", dtype=self.dtype, param_dtype=self.param_dtype)(x)
         return x
 
@@ -128,13 +134,16 @@ class MultiHeadAttention(nn.Module):
 
     One [D, 3D] matmul produces Q,K,V (MXU-friendly; mirrors the reference's
     packed ``in_proj_weight``, transformer.py:118-121, which also keeps ``.pt``
-    import trivial). Softmax runs in fp32 via preferred element types inside
-    ``jax.nn.dot_product_attention``.
+    import trivial). The attention core dispatches through
+    ``ops.attention.multi_head_attention``: the Pallas flash kernel on TPU
+    (no [B,H,N,N] score tensor in HBM), XLA's fused softmax elsewhere;
+    ``attn_impl`` or the COLXLIP_ATTN_IMPL env var force a path.
     """
     dim: int
     heads: int
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, *, kv: Optional[jnp.ndarray] = None,
@@ -161,8 +170,10 @@ class MultiHeadAttention(nn.Module):
         q = q.reshape(b, n, self.heads, head_dim)
         k = k.reshape(b, m, self.heads, head_dim)
         v = v.reshape(b, m, self.heads, head_dim)
-        out = jax.nn.dot_product_attention(
-            q, k, v, bias=mask, is_causal=is_causal and mask is None
+        from ..ops.attention import multi_head_attention
+
+        out = multi_head_attention(
+            q, k, v, mask=mask, causal=is_causal, impl=self.attn_impl
         )
         out = out.reshape(b, n, self.dim)
         out = nn.Dense(
@@ -203,7 +214,11 @@ class Transformer(nn.Module):
 
     ``remat=True`` applies ``jax.checkpoint`` per block — the TPU-native
     analog of the reference's torch.utils.checkpoint grad-checkpointing hooks
-    (transformer.py:500-504, main.py:250-251).
+    (transformer.py:500-504, main.py:250-251). ``remat='mlp'`` checkpoints
+    each block with a policy that saves everything EXCEPT the two [B, N, 4D]
+    MLP hidden tensors — the dominant activation memory — so the backward
+    recomputes only the cheap c_fc+GELU once, instead of XLA's auto-remat
+    re-running it 2-3x under HBM pressure (round-2 profile).
     """
     width: int
     layers: int
@@ -213,7 +228,7 @@ class Transformer(nn.Module):
     act: Callable = gelu
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
-    remat: bool = False
+    remat: Any = False
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None, is_causal: bool = False,
@@ -222,7 +237,15 @@ class Transformer(nn.Module):
         blocks' outputs — the reference's forward_intermediates feature taps
         (transformer.py:475-498 / utils.py feature_take_indices)."""
         block_cls = ResidualAttentionBlock
-        if self.remat:
+        if self.remat == "mlp":
+            import jax.ad_checkpoint as adc
+
+            block_cls = nn.remat(
+                ResidualAttentionBlock, static_argnums=(3,),
+                policy=adc.checkpoint_policies.save_anything_except_these_names(
+                    "mlp_hidden_pre", "mlp_hidden_act"),
+            )
+        elif self.remat:
             # static_argnums counts self at index 0; is_causal (bool) is static.
             block_cls = nn.remat(ResidualAttentionBlock, static_argnums=(3,))
         intermediates = []

@@ -13,8 +13,10 @@ image's own tokens and the mean over a text's own tokens — no cross-tile
 reduction, unlike flash-attention's softmax), so blocking is exact, not an
 approximation.
 
-Three implementations, one contract:
+Four implementations, one contract:
   - ``maxsim_xla``      : direct einsum. Reference semantics oracle; small inputs.
+  - ``maxsim_streaming``: fused-einsum tiles fwd + recompute custom-VJP bwd —
+                          the training path ('auto' for large shapes).
   - ``maxsim_chunked``  : nested lax.map over (M, K) tiles; differentiable via
                           AD; bounded memory; works on any backend.
   - ``maxsim_pallas``   : blocked Pallas TPU kernel (fwd + custom_vjp bwd) in
@@ -33,6 +35,7 @@ Three implementations, one contract:
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -139,6 +142,106 @@ def maxsim_chunked(
     return s[:m, :k]
 
 
+# ---------------------------------------------------------------------------
+# streaming implementation: fused-einsum forward + recompute custom VJP
+# ---------------------------------------------------------------------------
+#
+# Round-2 measurement (v5e, batch 256, chained timing): the chunked path's
+# einsum->max FORWARD is fast (XLA fuses the max reduction into the
+# contraction; ~8.6 ms) but its AD BACKWARD costs 41 ms isolated and ~87 ms
+# inside the train step — jax.checkpoint recomputes each tile's full body
+# (max, weights, mean), materializes predicate tensors for the max gradient,
+# and the extra live memory triggers XLA auto-remat elsewhere. This
+# implementation keeps the proven forward structure but replaces AD:
+#
+#   forward: lax.map over text tiles of  einsum('mnd,kqd->mknq') -> max_q,
+#     OUTPUTTING max_sim [M, K, Lt] fp32 (a few MB — the only residual).
+#     The masked mean runs outside in plain jnp (cheap AD).
+#   backward: custom VJP, lax.scan over the same text tiles with a carried
+#     dI accumulator; per tile: one recompute einsum, routing coefficients
+#     coef = (sim >= max_sim) * g built in the same fusion, and the two
+#     gradient einsums. Measured 20.2 ms vs AD's 41 ms isolated.
+#
+# Gradient convention at ties: every token attaining the max receives the
+# full cotangent (torch SDPA-style hard routing); JAX's reduce_max AD splits
+# it evenly. Equal when the max is unique — ties are measure-zero in fp32
+# and rare in bf16.
+
+
+def _mknq_max_tiles(t, token_image, m_chunk):
+    """[M, Lt, D] x [K, Li, D] -> max_sim [M, K, Lt] via fused einsum tiles."""
+    m, lt, d = t.shape
+    tiles = t.reshape(m // m_chunk, m_chunk, lt, d)
+
+    def tile(t_tile):
+        sim = jnp.einsum(
+            "mnd,kqd->mknq", t_tile, token_image,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.max(sim, axis=3)  # [mc, K, Lt]
+
+    return jax.lax.map(tile, tiles).reshape(m, token_image.shape[0], lt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _maxsim_streaming_core(t, token_image, m_chunk):
+    """[M, Lt, D] x [K, Li, D] -> max_sim [M, K, Lt] fp32 (M % m_chunk == 0)."""
+    return _mknq_max_tiles(t, token_image, m_chunk)
+
+
+def _maxsim_streaming_fwd(t, token_image, m_chunk):
+    max_sim = _mknq_max_tiles(t, token_image, m_chunk)
+    return max_sim, (t, token_image, max_sim)
+
+
+def _maxsim_streaming_bwd(m_chunk, res, g):
+    t, token_image, max_sim = res
+    m, lt, d = t.shape
+    k, li, _ = token_image.shape
+    n_tiles = m // m_chunk
+    tiles_t = t.reshape(n_tiles, m_chunk, lt, d)
+    tiles_ms = max_sim.reshape(n_tiles, m_chunk, k, lt)
+    tiles_g = g.astype(jnp.float32).reshape(n_tiles, m_chunk, k, lt)
+    i_f32 = token_image.astype(jnp.float32)
+
+    def body(di_acc, args):
+        t_tile, ms_tile, g_tile = args
+        sim = jnp.einsum(
+            "mnd,kqd->mknq", t_tile, token_image,
+            preferred_element_type=jnp.float32,
+        )
+        coef = jnp.where(sim >= ms_tile[..., None], g_tile[..., None], 0.0)
+        dt = jnp.einsum("mknq,kqd->mnd", coef, i_f32)
+        di = jnp.einsum("mknq,mnd->kqd", coef, t_tile.astype(jnp.float32))
+        return di_acc + di, dt
+
+    di, dts = jax.lax.scan(
+        body, jnp.zeros((k, li, d), jnp.float32),
+        (tiles_t, tiles_ms, tiles_g),
+    )
+    return (dts.reshape(m, lt, d).astype(t.dtype), di.astype(token_image.dtype))
+
+
+_maxsim_streaming_core.defvjp(_maxsim_streaming_fwd, _maxsim_streaming_bwd)
+
+
+def maxsim_streaming(
+    token_text: jnp.ndarray,
+    token_image: jnp.ndarray,
+    *,
+    mask_mode: str = "nonzero",
+    text_mask: Optional[jnp.ndarray] = None,
+    m_chunk: int = 16,
+) -> jnp.ndarray:
+    """[M,Lt,D] x [K,Li,D] -> [M,K] fp32; peak temp one [mc,K,Lt,Li] tile."""
+    m = token_text.shape[0]
+    m_chunk = min(m_chunk, m)
+    m_pad = (-m) % m_chunk
+    t = jnp.pad(token_text, ((0, m_pad), (0, 0), (0, 0)))
+    max_sim = _maxsim_streaming_core(t, token_image, m_chunk)[:m]
+    return _masked_mean_from_maxsim(max_sim, mask_mode, text_mask)
+
+
 def maxsim(
     token_text: jnp.ndarray,
     token_image: jnp.ndarray,
@@ -149,15 +252,14 @@ def maxsim(
     m_chunk: int = 16,
     k_chunk: int = 256,
 ) -> jnp.ndarray:
-    """Dispatch MaxSim. impl in {'auto', 'xla', 'chunked', 'pallas'}.
+    """Dispatch MaxSim. impl in {'auto', 'xla', 'streaming', 'chunked', 'pallas'}.
 
-    'auto' picks the CHUNKED XLA path for large problems: measured on v5e
-    (round 1, 512x2048x77x196x512 bf16) XLA's fused einsum->max pipeline runs
-    at ~168 TFLOP/s vs ~45 for the hand-written Pallas kernel at its current
-    tile sizes — XLA fuses the max reduction into the contraction so the
-    chunked path is both memory-bounded AND faster. The Pallas kernel remains
-    available (exact to 1e-9) for shapes/states where explicit VMEM control
-    wins; revisit its tiling before preferring it.
+    'auto' picks the STREAMING path for large problems (round-2 measurement,
+    v5e batch 256: the chunked path's AD backward recomputes every sim tile
+    and costs ~84 ms/step; the streaming custom-VJP backward rebuilds the
+    argmax one-hot from residuals instead). The direct xla einsum stays the
+    oracle for small shapes; the Pallas kernel remains available for explicit
+    VMEM control experiments.
     """
     if impl == "auto":
         # xla materializes [M, K, Lt, Li] fp32 — cap by TOTAL sim elements
@@ -165,9 +267,13 @@ def maxsim(
         # ~4 GB at Lt=77/Li=196
         sim_elems = (token_text.shape[0] * token_image.shape[0]
                      * token_text.shape[1] * token_image.shape[1])
-        impl = "xla" if sim_elems <= (1 << 24) else "chunked"
+        impl = "xla" if sim_elems <= (1 << 24) else "streaming"
     if impl == "xla":
         return maxsim_xla(token_text, token_image, mask_mode=mask_mode, text_mask=text_mask)
+    if impl == "streaming":
+        return maxsim_streaming(
+            token_text, token_image, mask_mode=mask_mode, text_mask=text_mask
+        )
     if impl == "chunked":
         return maxsim_chunked(
             token_text, token_image, mask_mode=mask_mode, text_mask=text_mask,
