@@ -56,6 +56,11 @@ def quick_gelu(x):
 
 def gelu(x):
     # torch nn.GELU default is the erf ("exact") formulation; match it.
+    # Round-2 note: a cheap A&S-7.1.26 erf (2.1e-7 exact, ~tanh cost) was
+    # tried three ways (naive AD, custom_jvp, custom_vjp) — every variant
+    # adds one [B, N, 4D] residual per layer and tips HBM over by ~176 MB at
+    # ViT-B batch 256; XLA's memory plan around the stock erf graph is
+    # already at the cliff edge. tanh-GELU (below) remains the fast option.
     return jax.nn.gelu(x, approximate=False)
 
 
@@ -216,9 +221,10 @@ class Transformer(nn.Module):
     analog of the reference's torch.utils.checkpoint grad-checkpointing hooks
     (transformer.py:500-504, main.py:250-251). ``remat='mlp'`` checkpoints
     each block with a policy that saves everything EXCEPT the two [B, N, 4D]
-    MLP hidden tensors — the dominant activation memory — so the backward
-    recomputes only the cheap c_fc+GELU once, instead of XLA's auto-remat
-    re-running it 2-3x under HBM pressure (round-2 profile).
+    MLP hidden tensors. CAUTION (round-2 measurement): because the policy
+    force-saves every OTHER intermediate it can USE MORE memory than XLA's
+    own auto-remat — it OOMed HBM at ViT-B batch 256 where remat=False fits.
+    Useful only where attention residuals are small relative to MLP width.
     """
     width: int
     layers: int

@@ -20,6 +20,7 @@ a TPU-native kernel rather than a translation.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -59,6 +60,40 @@ def xla_attention(q, k, v, *, mask=None, causal: bool = False):
     return jax.nn.dot_product_attention(
         q, k, v, bias=mask, is_causal=causal and mask is None
     )
+
+
+def _manual_attention(q, k, v, *, causal: bool, probs_dtype):
+    """Hand-rolled attention: softmax in fp32, probabilities STORED in
+    ``probs_dtype``. With bf16 probs the [B,H,N,N] residual halves — closer
+    to the reference's fp16-AMP SDPA numerics than fp32 storage."""
+    b, n, h, dh = q.shape
+    scale = 1.0 / math.sqrt(dh)
+    logits = jnp.einsum(
+        "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32) * scale
+    if causal:
+        mask = jnp.tril(jnp.ones((n, k.shape[1]), bool))
+        logits = jnp.where(mask[None, None], logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1).astype(probs_dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+
+
+def xla_bf16_attention(q, k, v, *, causal: bool = False):
+    return _manual_attention(q, k, v, causal=causal, probs_dtype=jnp.bfloat16)
+
+
+@functools.partial(jax.checkpoint,
+                   policy=jax.checkpoint_policies.nothing_saveable,
+                   static_argnums=(3,))
+def _remat_core(q, k, v, causal):
+    return jax.nn.dot_product_attention(q, k, v, is_causal=causal)
+
+
+def xla_remat_attention(q, k, v, *, causal: bool = False):
+    """Attention with flash-style memory semantics in plain XLA: nothing is
+    saved between fwd and bwd (the [B,H,N,N] tensors are recomputed once in
+    the backward), shrinking the residual set by ~1-2 GB/layer at ViT-B
+    batch 256."""
+    return _remat_core(q, k, v, causal)
 
 
 def flash_attention_bnhd(q, k, v, *, causal: bool = False):
@@ -122,6 +157,11 @@ def multi_head_attention(
     the CLIP towers.
     """
     impl = resolve_impl(impl)
-    if impl == "flash" and mask is None:
-        return flash_attention_bnhd(q, k, v, causal=causal)
+    if mask is None:
+        if impl == "flash":
+            return flash_attention_bnhd(q, k, v, causal=causal)
+        if impl == "xla_bf16":
+            return xla_bf16_attention(q, k, v, causal=causal)
+        if impl == "xla_remat":
+            return xla_remat_attention(q, k, v, causal=causal)
     return xla_attention(q, k, v, mask=mask, causal=causal)
