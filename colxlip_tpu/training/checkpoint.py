@@ -97,10 +97,28 @@ def get_latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
     ]
     if not entries:
         return None
-    entries = sorted(entries, key=_natural_key)
-    # epoch_latest sorts after numbers; prefer explicit numbered checkpoints,
-    # falling back to epoch_latest (reference scans both, main.py:58-66)
-    return os.path.join(checkpoint_dir, entries[-1])
+    numbered = sorted(
+        (e for e in entries if e != "epoch_latest"), key=_natural_key
+    )
+    has_latest = "epoch_latest" in entries
+    if not has_latest:
+        return os.path.join(checkpoint_dir, numbered[-1]) if numbered else None
+    latest_path = os.path.join(checkpoint_dir, "epoch_latest")
+    if not numbered:
+        return latest_path
+    # Both exist. epoch_latest is rewritten every epoch (--save-most-recent)
+    # so it normally supersedes numbered saves — but a crash between the
+    # numbered save and the atomic latest replace leaves a STALE epoch_latest
+    # from the previous epoch. The save order is numbered-then-latest, so a
+    # current epoch_latest is always at least as new as the newest numbered
+    # dir: resolve by directory mtime, tie-breaking to epoch_latest.
+    newest_numbered = os.path.join(checkpoint_dir, numbered[-1])
+    try:
+        if os.stat(newest_numbered).st_mtime > os.stat(latest_path).st_mtime:
+            return newest_numbered
+    except OSError:
+        pass
+    return latest_path
 
 
 def rotate_checkpoints(checkpoint_dir: str, current_epoch: int) -> None:

@@ -76,3 +76,39 @@ def test_main_coca_synthetic_train(tmp_path):
     assert all(np.isfinite(r["total_loss"]) for r in records)
     assert all(np.isfinite(r["caption_loss"]) for r in records)
     assert all(np.isfinite(r["contrastive_loss"]) for r in records)
+
+
+def test_get_latest_checkpoint_resolution(tmp_path):
+    """Crash-mid-epoch resolution (VERDICT weak #8): a stale epoch_latest
+    (older mtime than the newest numbered save) must NOT win resume-latest;
+    a current epoch_latest (rewritten after the numbered save) must."""
+    import time
+    from colxlip_tpu.training.checkpoint import get_latest_checkpoint
+
+    d = tmp_path / "ckpts"
+    d.mkdir()
+    assert get_latest_checkpoint(str(d)) is None
+
+    (d / "epoch_1").mkdir()
+    (d / "epoch_2").mkdir()
+    (d / "epoch_10").mkdir()
+    # natural sort: epoch_10 beats epoch_2
+    assert get_latest_checkpoint(str(d)).endswith("epoch_10")
+
+    # stale latest: epoch_latest written during epoch 9, crash before the
+    # epoch-10 replace -> its mtime predates epoch_10's save
+    latest = d / "epoch_latest"
+    latest.mkdir()
+    old = time.time() - 3600
+    os.utime(latest, (old, old))
+    assert get_latest_checkpoint(str(d)).endswith("epoch_10")
+
+    # current latest: rewritten after the numbered save (normal epoch end)
+    now = time.time() + 60
+    os.utime(latest, (now, now))
+    assert get_latest_checkpoint(str(d)).endswith("epoch_latest")
+
+    # in-flight tmp/old dirs from a crashed atomic replace are ignored
+    (d / "epoch_latest.tmp").mkdir()
+    (d / "epoch_latest.old").mkdir()
+    assert get_latest_checkpoint(str(d)).endswith("epoch_latest")
