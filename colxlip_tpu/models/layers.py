@@ -160,6 +160,19 @@ class MultiHeadAttention(nn.Module):
             qkv = nn.Dense(
                 3 * self.dim, name="in_proj", dtype=self.dtype, param_dtype=self.param_dtype
             )(x)
+            from ..ops.attention import resolve_impl
+
+            if mask is None and resolve_impl(self.attn_impl) == "fused":
+                # TPU path: fused packed-QKV Pallas kernel — consumes the
+                # in_proj output directly (no split/transpose), materializes
+                # no [B,H,N,N] tensor fwd or bwd (ops/fused_attention.py)
+                from ..ops.fused_attention import fused_mha_packed
+
+                out = fused_mha_packed(qkv, self.heads, is_causal)
+                return nn.Dense(
+                    self.dim, name="out_proj", dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                )(out)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             m = n
         else:

@@ -35,15 +35,19 @@ def _round_up(n: int, m: int = LANE) -> int:
 
 
 def resolve_impl(impl: str = "auto") -> str:
-    """'auto' resolves to the XLA path.
+    """'auto' resolves to the fused packed-QKV Pallas kernel on TPU
+    (ops/fused_attention.py), the XLA path elsewhere.
 
-    Measured round 2 (v5e, ViT-B/16 batch 256): the flash kernel ties XLA in
-    isolation at best (20.5 vs 21.4 ms fwd+bwd per layer with tuned blocks —
-    both are limited by the d=64 head structure, and XLA's fused softmax +
-    auto-remat already avoids keeping score tensors alive) and LOSES 43%
-    end-to-end (283 vs 494 img/s) due to the [B,N,H,D]->[B,H,N,D] transposes
-    it forces around every layer. Kept for shapes where it wins (longer
-    sequences); force with impl='flash' or COLXLIP_ATTN_IMPL=flash.
+    Measured round 2 (v5e, ViT-B/16 batch 256 per layer, chained timing):
+      - fused packed kernel: fwd 3.6 / fwd+bwd 5.3 ms — and zero [B,H,N,N]
+        residuals in HBM, which releases the memory pressure that made XLA
+        auto-remat re-execute the MLP fusions (~100 ms/step).
+      - XLA fused softmax (jax.nn.dot_product_attention): fwd 5.3 /
+        fwd+bwd 10.8 ms.
+      - stock pallas flash kernel: ties XLA in isolation at best (20.5 vs
+        21.4 ms with tuned blocks) and LOSES 43% end-to-end (283 vs 494
+        img/s) from the [B,N,H,D]->[B,H,N,D] transposes it forces around
+        every layer. Kept only for long sequences; force with impl='flash'.
     """
     if impl != "auto":
         return impl
@@ -52,6 +56,8 @@ def resolve_impl(impl: str = "auto") -> str:
     forced = os.environ.get("COLXLIP_ATTN_IMPL")
     if forced:
         return forced
+    if jax.default_backend() == "tpu":
+        return "fused"
     return "xla"
 
 
@@ -158,6 +164,16 @@ def multi_head_attention(
     """
     impl = resolve_impl(impl)
     if mask is None:
+        if impl == "fused":
+            # repack to [B, N, 3*H*D] for the packed kernel. Callers on the
+            # hot path (models/layers.py MultiHeadAttention) hand the packed
+            # in_proj output to fused_mha_packed directly and skip this copy.
+            from .fused_attention import fused_mha_packed
+
+            b, n, h, dh = q.shape
+            qkv = jnp.concatenate(
+                [t.reshape(b, n, h * dh) for t in (q, k, v)], axis=-1)
+            return fused_mha_packed(qkv, h, causal).reshape(b, n, h, dh)
         if impl == "flash":
             return flash_attention_bnhd(q, k, v, causal=causal)
         if impl == "xla_bf16":

@@ -1,0 +1,224 @@
+"""Fused short-sequence multi-head attention (Pallas/Mosaic, TPU).
+
+Purpose-built for the CLIP towers (vision N=197, text N=77 causal — reference
+src/colxlip/transformer.py:161-166 uses torch SDPA): sequences short enough
+that one (batch, head) attention problem fits whole in VMEM, so neither the
+forward nor the backward ever materializes the [B, H, N, N] score tensor in
+HBM. The round-2 profile showed that tensor's HBM traffic (plus the XLA
+auto-remat re-execution it forces under memory pressure) costing ~190 ms of a
+524 ms ViT-B/16 batch-256 train step.
+
+Design (differs deliberately from flash attention):
+  - Input is the PACKED QKV projection output ``[B, N, 3*H*D]`` exactly as
+    the ``in_proj`` Dense emits it — no [B,N,H,D]->[B,H,N,D] transposes in
+    or out (those transposes are why the stock flash kernel LOST end-to-end
+    in the round-2 experiments, ops/attention.py:37-55).
+  - Full-N blocks: no online softmax, no K/V streaming — at N<=256 the whole
+    [N, N] score tile lives in VMEM registers between the two matmuls.
+  - The custom-VJP backward saves NO residual beyond the qkv tensor itself
+    (which already exists as the Dense output): scores and probabilities are
+    recomputed in-VMEM, and the softmax-jacobian row term uses
+    ``rowsum(P * dP) == rowsum(dO * O)`` so even the forward output is not
+    needed.
+
+Numerics: scores and softmax in fp32, probabilities cast to bf16 for the PV
+matmul (measured neutral vs fp32 storage, and matches the reference's
+fp16-AMP SDPA closer than fp32).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _pick_block_b(b: int, bytes_per_item: int) -> int:
+    """Largest batch-block that divides b and keeps the double-buffered
+    block working set comfortably inside the 16 MB VMEM budget."""
+    budget = 6 * 1024 * 1024
+    for bb in (8, 4, 2, 1):
+        if b % bb == 0 and bb * bytes_per_item * 2 <= budget:
+            return bb
+    return 1
+
+
+def _causal_mask(n: int):
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return col <= row
+
+
+def _fwd_kernel(qkv_ref, out_ref, *, heads: int, head_dim: int, causal: bool,
+                scale: float):
+    bb, n, _ = qkv_ref.shape
+    hd = heads * head_dim
+    mask = _causal_mask(n) if causal else None
+    for b in range(bb):
+        for h in range(heads):
+            o = h * head_dim
+            q = qkv_ref[b, :, o:o + head_dim]
+            k = qkv_ref[b, :, hd + o:hd + o + head_dim]
+            v = qkv_ref[b, :, 2 * hd + o:2 * hd + o + head_dim]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if mask is not None:
+                s = jnp.where(mask, s, _NEG_INF)
+            p = jax.nn.softmax(s, axis=-1).astype(qkv_ref.dtype)
+            out_ref[b, :, o:o + head_dim] = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_ref.dtype)
+
+
+def _bwd_kernel(qkv_ref, dout_ref, dqkv_ref, *, heads: int, head_dim: int,
+                causal: bool, scale: float):
+    bb, n, _ = qkv_ref.shape
+    hd = heads * head_dim
+    mask = _causal_mask(n) if causal else None
+    for b in range(bb):
+        for h in range(heads):
+            o = h * head_dim
+            q = qkv_ref[b, :, o:o + head_dim]
+            k = qkv_ref[b, :, hd + o:hd + o + head_dim]
+            v = qkv_ref[b, :, 2 * hd + o:2 * hd + o + head_dim]
+            do = dout_ref[b, :, o:o + head_dim]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if mask is not None:
+                s = jnp.where(mask, s, _NEG_INF)
+            p = jax.nn.softmax(s, axis=-1)
+            # dP = dO @ V^T   (contraction over head_dim)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # softmax jacobian row term: rowsum(P * dP) == rowsum(dO * O)
+            delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+            dz = (p * (dp - delta) * scale).astype(qkv_ref.dtype)
+            p16 = p.astype(qkv_ref.dtype)
+            # dV = P^T @ dO ; dQ = dZ @ K ; dK = dZ^T @ Q
+            dqkv_ref[b, :, 2 * hd + o:2 * hd + o + head_dim] = (
+                jax.lax.dot_general(
+                    p16, do, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dqkv_ref.dtype))
+            dqkv_ref[b, :, o:o + head_dim] = jax.lax.dot_general(
+                dz, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dqkv_ref.dtype)
+            dqkv_ref[b, :, hd + o:hd + o + head_dim] = jax.lax.dot_general(
+                dz, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dqkv_ref.dtype)
+
+
+def _fwd_call(qkv, heads, causal, block_b, interpret):
+    b, n, three_hd = qkv.shape
+    hd = three_hd // 3
+    head_dim = hd // heads
+    scale = 1.0 / math.sqrt(head_dim)
+    itemsize = jnp.dtype(qkv.dtype).itemsize
+    bb = block_b or _pick_block_b(b, n * (three_hd + hd) * itemsize)
+    kernel = functools.partial(
+        _fwd_kernel, heads=heads, head_dim=head_dim, causal=causal,
+        scale=scale,
+    )
+    flops_core = 4 * b * heads * n * n * head_dim
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        in_specs=[pl.BlockSpec((bb, n, three_hd), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((bb, n, hd), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_core,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize * 4 // 3,
+            transcendentals=b * heads * n * n,
+        ),
+        interpret=interpret,
+    )(qkv)
+
+
+def _bwd_call(qkv, dout, heads, causal, block_b, interpret):
+    b, n, three_hd = qkv.shape
+    hd = three_hd // 3
+    head_dim = hd // heads
+    scale = 1.0 / math.sqrt(head_dim)
+    itemsize = jnp.dtype(qkv.dtype).itemsize
+    bb = block_b or _pick_block_b(b, n * (2 * three_hd + hd) * itemsize)
+    kernel = functools.partial(
+        _bwd_kernel, heads=heads, head_dim=head_dim, causal=causal,
+        scale=scale,
+    )
+    flops_core = 10 * b * heads * n * n * head_dim
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, n, three_hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, n, hd), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bb, n, three_hd), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, three_hd), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_core,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize * 7 // 3,
+            transcendentals=b * heads * n * n,
+        ),
+        interpret=interpret,
+    )(qkv, dout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def fused_mha_packed(qkv, heads: int, causal: bool = False,
+                     block_b: int = 0, interpret: bool = False):
+    """Multi-head self-attention over a packed QKV tensor.
+
+    qkv: [B, N, 3*H*D] laid out [q | k | v] along features, each [H*D] with
+    head h occupying columns h*D:(h+1)*D (exactly the packed ``in_proj``
+    Dense output). Returns [B, N, H*D] — the concatenated per-head outputs,
+    ready for the ``out_proj`` Dense. No [B,H,N,N] tensor in HBM, forward or
+    backward.
+    """
+    return _fwd_call(qkv, heads, causal, block_b, interpret)
+
+
+def _vjp_fwd(qkv, heads, causal, block_b, interpret):
+    return _fwd_call(qkv, heads, causal, block_b, interpret), qkv
+
+
+def _vjp_bwd(heads, causal, block_b, interpret, qkv, dout):
+    return (_bwd_call(qkv, dout, heads, causal, block_b, interpret),)
+
+
+fused_mha_packed.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_mha_reference(qkv, heads: int, causal: bool = False):
+    """XLA reference path with identical semantics (oracle for tests)."""
+    b, n, three_hd = qkv.shape
+    hd = three_hd // 3
+    head_dim = hd // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, n, heads, head_dim)
+    k = k.reshape(b, n, heads, head_dim)
+    v = v.reshape(b, n, heads, head_dim)
+    s = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                   preferred_element_type=jnp.float32)
+    s = s / math.sqrt(head_dim)
+    if causal:
+        s = jnp.where(_causal_mask(n)[None, None], s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1).astype(qkv.dtype)
+    out = jnp.einsum("bhnm,bmhd->bnhd", p, v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(qkv.dtype).reshape(b, n, hd)
