@@ -95,10 +95,21 @@ def main():
         # block_until_ready proved unreliable over the remote-execution relay)
         jax.device_get(metrics["total_loss"])
         dt = time.perf_counter() - t0
-        del state
-        return args.steps * b / dt
 
-    ips = measure(args.loss, args.gelu)
+        # MFU from the compiled step's own FLOP count (XLA cost analysis),
+        # against the chip calibration (151 TF/s sustained bf16 matmul on
+        # this v5e — docs/BENCH.md) rather than the nominal peak.
+        tflops = None
+        try:
+            cost = step.lower(state, images, texts).compile().cost_analysis()
+            if cost and cost.get("flops"):
+                tflops = cost["flops"] * args.steps / dt / 1e12
+        except Exception:  # noqa: BLE001 — cost analysis is best-effort
+            pass
+        del state
+        return args.steps * b / dt, tflops
+
+    ips, tflops = measure(args.loss, args.gelu)
     result = {
         "metric": f"images/sec/chip ({args.model}, bf16 train step, "
                   f"{args.loss} loss, {args.gelu}-gelu, batch {b})",
@@ -106,15 +117,18 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / args.baseline, 4),
     }
+    if tflops is not None:
+        result["tflops_per_sec"] = round(tflops, 1)
+        result["mfu_vs_calibrated_151tf"] = round(tflops / 151.0, 3)
     if not args.no_secondary:
         secondary = {}
         if args.loss != "clip":
-            clip_ips = measure("clip", args.gelu)
+            clip_ips, _ = measure("clip", args.gelu)
             secondary[f"clip loss, {args.gelu}-gelu"] = round(clip_ips, 1)
         if args.gelu == "erf":
             # tanh-GELU differs from erf by <= 4.7e-4 absolute — below bf16
             # rounding noise at activation scale — and is ~17% faster
-            tanh_ips = measure(args.loss, "tanh")
+            tanh_ips, _ = measure(args.loss, "tanh")
             secondary[f"{args.loss} loss, tanh-gelu"] = round(tanh_ips, 1)
         result["secondary"] = secondary
     print(json.dumps(result))

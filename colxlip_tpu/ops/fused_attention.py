@@ -48,6 +48,17 @@ def _pick_block_b(b: int, bytes_per_item: int) -> int:
     return 1
 
 
+def _compiler_params(bb: int, n: int, width: int, dtype):
+    """Raise the scoped-VMEM cap when a large batch block is requested (the
+    default 16 MB cap rejects block_b >= 4 at vision shapes; the chip has
+    far more VMEM — the maxsim kernels already run with a 100 MB cap)."""
+    need = bb * n * width * jnp.dtype(dtype).itemsize * 3  # blocks + temps
+    if need <= 12 * 1024 * 1024:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(120 * 1024 * 1024, need * 2))
+
+
 def _causal_mask(n: int):
     row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
@@ -145,6 +156,7 @@ def _fwd_call(qkv, heads, causal, block_b, interpret):
             bytes_accessed=qkv.size * qkv.dtype.itemsize * 4 // 3,
             transcendentals=b * heads * n * n,
         ),
+        compiler_params=_compiler_params(bb, n, three_hd + hd, qkv.dtype),
         interpret=interpret,
     )(qkv)
 
@@ -175,6 +187,7 @@ def _bwd_call(qkv, dout, heads, causal, block_b, interpret):
             bytes_accessed=qkv.size * qkv.dtype.itemsize * 7 // 3,
             transcendentals=b * heads * n * n,
         ),
+        compiler_params=_compiler_params(bb, n, 2 * three_hd + hd, qkv.dtype),
         interpret=interpret,
     )(qkv, dout)
 

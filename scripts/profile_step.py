@@ -85,51 +85,48 @@ def main():
 
 
 def summarize(xplane: str, top: int) -> None:
-    """Top ops by self-time via the tensorboard profile plugin converters."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    """Top ops by device self-time, parsed straight from the XSpace proto.
 
-    params = {"tqx": "out:json;"}
-    for tool in ("op_profile", "overview_page"):
-        try:
-            data, _ = rtd.xspace_to_tool_data([xplane], tool, params)
-        except Exception as e:  # noqa: BLE001
-            print(f"[{tool}] failed: {e}")
+    (The tensorboard_plugin_profile converters are broken in this image —
+    protobuf/pywrap version skew — so read the TPU plane's "XLA Ops" line
+    directly.)
+    """
+    import re
+    from collections import defaultdict
+
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(xplane, "rb") as f:
+        xs.ParseFromString(f.read())
+    for plane in xs.planes:
+        if not plane.name.startswith("/device:TPU"):
             continue
-        if tool == "op_profile":
-            _print_op_profile(data, top)
-        else:
-            _print_overview(data)
-
-
-def _walk(node, depth, rows):
-    m = node.get("metrics", {})
-    rows.append((m.get("time", 0.0), depth, node.get("name", "?"),
-                 m.get("flops", 0.0), m.get("memoryBandwidth", 0.0)))
-    for c in node.get("children", []):
-        _walk(c, depth + 1, rows)
-
-
-def _print_op_profile(data, top) -> None:
-    prof = json.loads(data) if isinstance(data, (str, bytes)) else data
-    root = prof.get("byProgram") or prof.get("byCategory")
-    if root is None:
-        print(json.dumps(prof)[:2000])
-        return
-    rows = []
-    _walk(root, 0, rows)
-    # keep leaf-ish rows (depth>=2), sorted by time fraction
-    leaves = sorted((r for r in rows if r[1] >= 2), reverse=True)[:top]
-    print(f"{'time%':>7} {'flops%':>7} {'bw':>8}  op")
-    for t, _, name, fl, bw in leaves:
-        print(f"{t*100:7.2f} {fl*100:7.2f} {bw:8.2f}  {name[:110]}")
-
-
-def _print_overview(data) -> None:
-    try:
-        ov = json.loads(data) if isinstance(data, (str, bytes)) else data
-        print(json.dumps(ov)[:1500])
-    except Exception:
-        pass
+        evmeta = plane.event_metadata
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            agg = defaultdict(float)
+            cnt = defaultdict(int)
+            remat = defaultdict(float)
+            total = 0.0
+            for ev in line.events:
+                name = evmeta[ev.metadata_id].name
+                fam = re.sub(r"\.\d+", "", name.split(" = ")[0])
+                shape = name.split(" = ")[1].split(" ")[0] if " = " in name else ""
+                key = f"{fam} {shape}"
+                dur = ev.duration_ps / 1e9
+                agg[key] += dur
+                cnt[key] += 1
+                total += dur
+                if ".remat" in name:
+                    remat[key] += dur
+            print(f"total device op-time {total:.1f} ms "
+                  f"(remat re-execution {sum(remat.values()):.1f} ms)")
+            for key, t in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
+                r = f" [remat {remat[key]:.1f}]" if remat.get(key) else ""
+                print(f"{t:9.2f} ms  x{cnt[key]:<5d} {key[:100]}{r}")
 
 
 if __name__ == "__main__":
