@@ -137,7 +137,13 @@ def center_crop(img: Image.Image, size: Tuple[int, int]) -> Image.Image:
 
 
 class ImageTransform:
-    """Callable image -> float32 NHWC array [H, W, 3]."""
+    """Callable image -> NHWC array [H, W, 3].
+
+    Default output is normalized float32. With ``normalize_on_device`` the
+    transform emits raw uint8 RGB and the accelerator applies
+    (x/255 - mean)/std at the top of the jitted step — 4x fewer
+    host->device bytes (the dominant feed cost on PCIe/relay links).
+    """
 
     def __init__(
         self,
@@ -145,12 +151,14 @@ class ImageTransform:
         is_train: bool,
         aug: Optional[AugmentationCfg] = None,
         seed: Optional[int] = None,
+        normalize_on_device: bool = False,
     ):
         self.cfg = cfg
         self.is_train = is_train
         self.aug = aug or AugmentationCfg()
         self.interp = _PIL_INTERP[cfg.interpolation]
         self.rng = random.Random(seed) if seed is not None else random
+        self.normalize_on_device = normalize_on_device
 
     def __call__(self, img: Image.Image) -> np.ndarray:
         img = _to_rgb(img)
@@ -163,6 +171,8 @@ class ImageTransform:
         else:
             img = resize_shortest(img, min(hw), self.interp)
             img = center_crop(img, hw)
+        if self.normalize_on_device:
+            return np.asarray(img, np.uint8)
         return _normalize(np.asarray(img), self.cfg.mean, self.cfg.std)
 
 
@@ -174,8 +184,10 @@ def image_transform(
     interpolation: str = "bicubic",
     aug_cfg: Optional[AugmentationCfg] = None,
     seed: Optional[int] = None,
+    normalize_on_device: bool = False,
 ) -> ImageTransform:
     """Build a train or eval transform (factory.py:409-419 counterpart)."""
     cfg = PreprocessCfg(size=image_size, mean=tuple(mean), std=tuple(std),
                         interpolation=interpolation)
-    return ImageTransform(cfg, is_train, aug=aug_cfg, seed=seed)
+    return ImageTransform(cfg, is_train, aug=aug_cfg, seed=seed,
+                          normalize_on_device=normalize_on_device)

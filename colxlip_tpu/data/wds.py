@@ -493,13 +493,16 @@ class WdsTrainPipeline:
         crops = None
         if boxes[0] is not None:
             crops = np.asarray(boxes, np.int32)
+        on_device = getattr(self.transform, "normalize_on_device", False)
         decoded, failures = native.process_batch(
             jpegs, (out_h, out_w), pcfg.mean, pcfg.std,
             crops=crops, num_threads=cfg.decode_threads,
+            normalize=not on_device,
         )
         if failures:
             logger.warning("native decode: %d failed samples zeroed", failures)
-        imgs = np.zeros((len(items), out_h, out_w, 3), np.float32)
+        imgs = np.zeros((len(items), out_h, out_w, 3),
+                        np.uint8 if on_device else np.float32)
         for j, i in enumerate(raw_idx):
             imgs[i] = decoded[j]
         for i, it in enumerate(items):
@@ -542,5 +545,10 @@ class WdsTrainPipeline:
             # drops partials via wds batched(partial=False))
         finally:
             stop.set()
-            for t in threads:
-                t.join(timeout=2.0)
+            try:
+                for t in threads:
+                    t.join(timeout=2.0)
+            except Exception:  # noqa: BLE001
+                # generator finalized during interpreter shutdown: threading
+                # internals may already be torn down; workers are daemonic
+                pass

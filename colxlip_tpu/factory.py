@@ -149,9 +149,16 @@ def create_model_and_transforms(
     image_std: Tuple[float, ...] = OPENAI_DATASET_STD,
     aug_cfg: Optional[AugmentationCfg] = None,
     seed: int = 0,
+    normalize_on_device: bool = False,
 ):
     """(model, cfg, params, preprocess_train, preprocess_val) —
-    reference factory.py:367-421."""
+    reference factory.py:367-421.
+
+    normalize_on_device: the TRAIN transform emits raw uint8 RGB and the
+    vision tower normalizes on the accelerator (models/vision.py) — 4x fewer
+    host->device bytes per batch. The model's cfg carries the same mean/std
+    so both paths are numerically identical.
+    """
     model, cfg = create_model(
         model_name, precision=precision, quick_gelu=quick_gelu,
         force_image_size=force_image_size,
@@ -159,13 +166,26 @@ def create_model_and_transforms(
         grad_checkpointing=grad_checkpointing, alpha=alpha,
         gelu_approximate=gelu_approximate,
     )
+    if tuple(image_mean) != tuple(cfg.vision_cfg.image_mean) or (
+        tuple(image_std) != tuple(cfg.vision_cfg.image_std)
+    ):
+        # keep the device-side normalization stats in sync with the host
+        # transform when a non-OPENAI mean/std is requested
+        cfg = dataclasses.replace(
+            cfg,
+            vision_cfg=dataclasses.replace(
+                cfg.vision_cfg, image_mean=tuple(image_mean),
+                image_std=tuple(image_std)),
+        )
+        model = model.clone(cfg=cfg)
     if pretrained:
         params = load_weights(model, cfg, pretrained, seed=seed, model_name=model_name)
     else:
         params = init_params(model, cfg, seed)
     size = cfg.vision_cfg.image_size
     preprocess_train = image_transform(
-        size, is_train=True, mean=image_mean, std=image_std, aug_cfg=aug_cfg
+        size, is_train=True, mean=image_mean, std=image_std, aug_cfg=aug_cfg,
+        normalize_on_device=normalize_on_device,
     )
     preprocess_val = image_transform(size, is_train=False, mean=image_mean, std=image_std)
     return model, cfg, params, preprocess_train, preprocess_val

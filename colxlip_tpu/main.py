@@ -137,6 +137,13 @@ def main(argv=None) -> int:
     if args.pipeline == "grain":
         import grain  # noqa: F401  fail fast, before any model/TPU work
 
+    # Persistent compile cache: TPU backends compile remotely (minutes for a
+    # full train step); the cache makes re-runs of an unchanged step instant.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR",
+                                     os.path.expanduser("~/.jax_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     initialize_multihost(args.dist_coordinator, args.dist_num_processes,
                          args.dist_process_id)
     is_master = jax.process_index() == 0
@@ -208,6 +215,7 @@ def main(argv=None) -> int:
         alpha=args.alpha,
         gelu_approximate=args.gelu_approx,
         seed=args.seed,
+        normalize_on_device=args.normalize_on_device,
     )
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     logger.info("Model: %s (%.1fM params)", args.model, n_params / 1e6)

@@ -37,6 +37,11 @@ class CLIPVisionCfg:
     final_ln_after_pool: bool = False
     pool_type: str = "tok"                          # 'tok' | 'avg' | 'none'
     output_tokens: bool = False
+    # normalization stats for the device-side uint8 path (OPENAI CLIP stats;
+    # same values as data/transforms.py). When the tower receives an integer
+    # image batch it applies (x/255 - mean)/std in fp32 on the accelerator.
+    image_mean: Tuple[float, float, float] = (0.48145466, 0.4578275, 0.40821073)
+    image_std: Tuple[float, float, float] = (0.26862954, 0.26130258, 0.27577711)
 
     @property
     def heads(self) -> int:

@@ -44,6 +44,13 @@ class VisionTransformer(nn.Module):
         gh, gw = image.shape[1] // p, image.shape[2] // p
         width = cfg.width
 
+        if jnp.issubdtype(image.dtype, jnp.integer):
+            # uint8 feed (normalize-on-device): the host ships raw RGB bytes
+            # (4x fewer host->device bytes) and the accelerator normalizes in
+            # fp32 — numerically identical to the host float32 transform.
+            mean = jnp.asarray(cfg.image_mean, jnp.float32)
+            std = jnp.asarray(cfg.image_std, jnp.float32)
+            image = (image.astype(jnp.float32) / 255.0 - mean) / std
         x = image.astype(self.dtype)
         # Patchify as one big matmul: [B, gh, p, gw, p, 3] -> [B, gh*gw, p*p*3] @ [p*p*3, width]
         x = x.reshape(b, gh, p, gw, p, 3)

@@ -67,6 +67,14 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int,
     ]
+    lib.cx_process_batch_u8.restype = ctypes.c_int
+    lib.cx_process_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
     return lib
 
 
@@ -103,6 +111,7 @@ def process_batch(
     std: Sequence[float],
     crops: Optional[np.ndarray] = None,
     num_threads: int = 8,
+    normalize: bool = True,
 ) -> Tuple[np.ndarray, int]:
     """Decode+transform a batch of JPEG byte strings.
 
@@ -110,23 +119,35 @@ def process_batch(
     RandomResizedCrop (drawn by the Python caller), or None for eval-style
     resize-shortest + center-crop.
 
-    Returns (float32 [n, H, W, 3], num_failures) — failed slots are zeroed.
+    normalize=True returns float32 (x/255 - mean)/std; normalize=False
+    returns raw uint8 RGB (mean/std unused) for device-side normalization —
+    4x fewer host->device bytes.
+
+    Returns ([n, H, W, 3], num_failures) — failed slots are zeroed.
     """
     lib = _get_lib()
     if lib is None:
         raise RuntimeError("native dataloader unavailable")
     n = len(jpegs)
     out_h, out_w = out_size
-    out = np.empty((n, out_h, out_w, 3), np.float32)
     arr_ptr = (ctypes.c_char_p * n)(*jpegs)
     len_arr = (ctypes.c_size_t * n)(*[len(b) for b in jpegs])
-    mean_arr = (ctypes.c_float * 3)(*[float(m) for m in mean])
-    std_arr = (ctypes.c_float * 3)(*[float(s) for s in std])
     crops_ptr = None
     if crops is not None:
         crops = np.ascontiguousarray(crops, np.int32)
         assert crops.shape == (n, 4)
         crops_ptr = crops.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+    if not normalize:
+        out = np.empty((n, out_h, out_w, 3), np.uint8)
+        failures = lib.cx_process_batch_u8(
+            arr_ptr, len_arr, n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_h, out_w,
+            crops_ptr, num_threads,
+        )
+        return out, int(failures)
+    out = np.empty((n, out_h, out_w, 3), np.float32)
+    mean_arr = (ctypes.c_float * 3)(*[float(m) for m in mean])
+    std_arr = (ctypes.c_float * 3)(*[float(s) for s in std])
     failures = lib.cx_process_batch(
         arr_ptr, len_arr, n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out_h, out_w,

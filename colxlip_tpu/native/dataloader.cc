@@ -150,10 +150,13 @@ Taps make_taps(float origin, float span, int out_size, int src_size) {
 }
 
 // PIL-convention separable resample from a crop region of src into
-// out_h x out_w, then normalize into float32 channels-last.
+// out_h x out_w, then either normalize into float32 channels-last (out_f)
+// or emit uint8 RGB (out_u8; "normalize on device" mode — the train step
+// does (x/255 - mean)/std on the accelerator, cutting host->device traffic
+// 4x; mean/stdv may be null in that mode).
 void resample_normalize(const Image& src, float cx0, float cy0, float cw,
                         float ch, int out_h, int out_w, const float* mean,
-                        const float* stdv, float* out) {
+                        const float* stdv, float* out_f, uint8_t* out_u8) {
   const Taps tx = make_taps(cx0, cw, out_w, src.w);
   const Taps ty = make_taps(cy0, ch, out_h, src.h);
   // pass 1: horizontal, all source rows -> [src_h, out_w, 3]
@@ -177,11 +180,15 @@ void resample_normalize(const Image& src, float cx0, float cy0, float cw,
       mrow[x * 3 + 2] = acc[2];
     }
   }
-  // pass 2: vertical + normalize
+  // pass 2: vertical + normalize (float path) or round-clamp (uint8 path)
   const float inv255 = 1.0f / 255.0f;
-  float inv_std[3] = {1.0f / stdv[0], 1.0f / stdv[1], 1.0f / stdv[2]};
+  float inv_std[3] = {1.0f, 1.0f, 1.0f};
+  if (stdv != nullptr) {
+    inv_std[0] = 1.0f / stdv[0];
+    inv_std[1] = 1.0f / stdv[1];
+    inv_std[2] = 1.0f / stdv[2];
+  }
   for (int y = 0; y < out_h; ++y) {
-    float* orow = out + static_cast<size_t>(y) * out_w * 3;
     const int lo = ty.start[y];
     const int cnt = ty.count[y];
     const float* w = ty.weights.data() + static_cast<size_t>(y) * ty.max_count;
@@ -194,8 +201,19 @@ void resample_normalize(const Image& src, float cx0, float cy0, float cw,
         acc[1] += w[k] * px[1];
         acc[2] += w[k] * px[2];
       }
-      for (int c = 0; c < 3; ++c) {
-        orow[x * 3 + c] = (acc[c] * inv255 - mean[c]) * inv_std[c];
+      if (out_f != nullptr) {
+        float* orow = out_f + static_cast<size_t>(y) * out_w * 3;
+        for (int c = 0; c < 3; ++c) {
+          orow[x * 3 + c] = (acc[c] * inv255 - mean[c]) * inv_std[c];
+        }
+      } else {
+        uint8_t* orow = out_u8 + static_cast<size_t>(y) * out_w * 3;
+        for (int c = 0; c < 3; ++c) {
+          // PIL rounds half away from zero on uint8 convert
+          float v = acc[c] + 0.5f;
+          orow[x * 3 + c] = static_cast<uint8_t>(
+              std::min(255.0f, std::max(0.0f, v)));
+        }
       }
     }
   }
@@ -230,10 +248,12 @@ int cx_jpeg_info(const uint8_t* data, size_t len, int* w, int* h) {
 
 // Decode + crop(+resize) + normalize one sample.
 // crop = (x, y, w, h) in ORIGINAL image coords; pass w<=0 for eval-style
-// resize-shortest-then-center-crop. Returns 0 on success.
-int cx_process_sample(const uint8_t* jpeg, size_t len, float* out, int out_h,
-                      int out_w, int crop_x, int crop_y, int crop_w,
-                      int crop_h, const float* mean, const float* stdv) {
+// resize-shortest-then-center-crop. Exactly one of out/out_u8 is non-null
+// (float32 normalized vs raw uint8 RGB). Returns 0 on success.
+int cx_process_sample_impl(const uint8_t* jpeg, size_t len, float* out,
+                           uint8_t* out_u8, int out_h, int out_w, int crop_x,
+                           int crop_y, int crop_w, int crop_h,
+                           const float* mean, const float* stdv) {
   Image img;
   int min_w = out_w, min_h = out_h;
   if (crop_w > 0) {
@@ -268,15 +288,25 @@ int cx_process_sample(const uint8_t* jpeg, size_t len, float* out, int out_h,
     cx0 = (img.w - cw) * 0.5f;
     cy0 = (img.h - ch) * 0.5f;
   }
-  resample_normalize(img, cx0, cy0, cw, ch, out_h, out_w, mean, stdv, out);
+  resample_normalize(img, cx0, cy0, cw, ch, out_h, out_w, mean, stdv, out,
+                     out_u8);
   return 0;
 }
 
+int cx_process_sample(const uint8_t* jpeg, size_t len, float* out, int out_h,
+                      int out_w, int crop_x, int crop_y, int crop_w,
+                      int crop_h, const float* mean, const float* stdv) {
+  return cx_process_sample_impl(jpeg, len, out, nullptr, out_h, out_w, crop_x,
+                                crop_y, crop_w, crop_h, mean, stdv);
+}
+
 // Batch version over a thread pool. crops: n*4 ints or nullptr (eval mode
-// for all). Returns the number of FAILED samples; failed slots are zeroed.
-int cx_process_batch(const uint8_t** jpegs, const size_t* lens, int n,
-                     float* out, int out_h, int out_w, const int* crops,
-                     const float* mean, const float* stdv, int num_threads) {
+// for all). Exactly one of out/out_u8 is non-null. Returns the number of
+// FAILED samples; failed slots are zeroed.
+static int process_batch_impl(const uint8_t** jpegs, const size_t* lens,
+                              int n, float* out, uint8_t* out_u8, int out_h,
+                              int out_w, const int* crops, const float* mean,
+                              const float* stdv, int num_threads) {
   std::atomic<int> next{0};
   std::atomic<int> failures{0};
   const size_t stride = static_cast<size_t>(out_h) * out_w * 3;
@@ -291,9 +321,12 @@ int cx_process_batch(const uint8_t** jpegs, const size_t* lens, int n,
         cw = crops[i * 4 + 2];
         ch = crops[i * 4 + 3];
       }
-      if (cx_process_sample(jpegs[i], lens[i], out + stride * i, out_h, out_w,
-                            cx, cy, cw, ch, mean, stdv) != 0) {
-        std::memset(out + stride * i, 0, stride * sizeof(float));
+      float* of = out != nullptr ? out + stride * i : nullptr;
+      uint8_t* ou = out_u8 != nullptr ? out_u8 + stride * i : nullptr;
+      if (cx_process_sample_impl(jpegs[i], lens[i], of, ou, out_h, out_w,
+                                 cx, cy, cw, ch, mean, stdv) != 0) {
+        if (of != nullptr) std::memset(of, 0, stride * sizeof(float));
+        if (ou != nullptr) std::memset(ou, 0, stride);
         failures.fetch_add(1);
       }
     }
@@ -304,6 +337,22 @@ int cx_process_batch(const uint8_t** jpegs, const size_t* lens, int n,
   for (int i = 0; i < t; ++i) threads.emplace_back(worker);
   for (auto& th : threads) th.join();
   return failures.load();
+}
+
+int cx_process_batch(const uint8_t** jpegs, const size_t* lens, int n,
+                     float* out, int out_h, int out_w, const int* crops,
+                     const float* mean, const float* stdv, int num_threads) {
+  return process_batch_impl(jpegs, lens, n, out, nullptr, out_h, out_w, crops,
+                            mean, stdv, num_threads);
+}
+
+// uint8 output mode: decode+crop+resize only; normalization happens on the
+// accelerator (the caller ships 1/4 the bytes host->device).
+int cx_process_batch_u8(const uint8_t** jpegs, const size_t* lens, int n,
+                        uint8_t* out, int out_h, int out_w, const int* crops,
+                        int num_threads) {
+  return process_batch_impl(jpegs, lens, n, nullptr, out, out_h, out_w, crops,
+                            nullptr, nullptr, num_threads);
 }
 
 }  // extern "C"

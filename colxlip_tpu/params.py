@@ -52,6 +52,11 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--pixelprose", default=False, action="store_true")
     parser.add_argument("--native-decode", default=False, action="store_true",
                         help="fused C++ JPEG decode+crop+resize loader core")
+    parser.add_argument("--normalize-on-device", default=False,
+                        action="store_true",
+                        help="train batches ship as raw uint8 RGB and the "
+                             "accelerator applies (x/255-mean)/std — 4x fewer "
+                             "host->device bytes, numerically identical")
     parser.add_argument("--pipeline", type=str, default="wds",
                         choices=["wds", "grain"],
                         help="threaded tar pipeline vs grain mp-prefetch pipeline")
