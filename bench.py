@@ -25,9 +25,10 @@ def main():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--remat", nargs="?", const="full", default="",
-                   choices=["", "full", "mlp"],
-                   help="activation checkpointing: full block, or 'mlp' "
-                        "(drop only the [B,N,4D] hidden tensors)")
+                   choices=["", "full", "mlp", "mlp_scope"],
+                   help="activation checkpointing: full block, 'mlp' "
+                        "(policy: drop only the [B,N,4D] hidden tensors), or "
+                        "'mlp_scope' (checkpoint just the MLP submodule)")
     p.add_argument("--gelu", default="erf", choices=["erf", "tanh"],
                    help="erf = reference-parity numerics (default); "
                         "tanh = faster VPU approximation")
@@ -54,7 +55,8 @@ def main():
 
     import dataclasses
     base_cfg = CLIPCfg.from_dict(get_model_config(args.model))
-    remat = {"": False, "full": True, "mlp": "mlp"}[args.remat]
+    remat = {"": False, "full": True, "mlp": "mlp",
+             "mlp_scope": "mlp_scope"}[args.remat]
 
     def build(gelu):
         cfg = dataclasses.replace(base_cfg, gelu_approximate=gelu == "tanh")

@@ -77,7 +77,9 @@ class _DecodeTokenize:
         crops = np.asarray([box], np.int32) if box is not None else None
         pcfg = self.transform.cfg
         out, failures = native.process_batch(
-            [data], pcfg.size_hw, pcfg.mean, pcfg.std, crops=crops, num_threads=1
+            [data], pcfg.size_hw, pcfg.mean, pcfg.std, crops=crops,
+            num_threads=1,
+            normalize=not getattr(self.transform, "normalize_on_device", False),
         )
         return None if failures else out[0]
 
@@ -96,7 +98,9 @@ class _DecodeTokenize:
                     img_arr = self._decode_native(sample, rng)
             if img_arr is None:
                 img = decode_image(sample)
-                img_arr = np.asarray(self.transform(img), np.float32)
+                img_arr = np.asarray(self.transform(img))
+                if img_arr.dtype != np.uint8:
+                    img_arr = img_arr.astype(np.float32)
             if cfg.caption_key == "json":
                 meta = json.loads(sample["json"])
                 texts = sample_and_tokenize(

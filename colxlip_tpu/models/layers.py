@@ -209,6 +209,7 @@ class ResidualAttentionBlock(nn.Module):
     act: Callable = gelu
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    mlp_remat: bool = False
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None, is_causal: bool = False):
@@ -218,7 +219,12 @@ class ResidualAttentionBlock(nn.Module):
         if self.ls_init_value is not None:
             attn_out = LayerScale(self.ls_init_value, name="ls_1")(attn_out)
         x = x + attn_out
-        mlp_out = MLP(
+        # mlp_remat: checkpoint the MLP SUBMODULE — backward recomputes the
+        # two [B,N,4D] hiddens from the stored MLP input, without forcing a
+        # save policy on anything outside the MLP (unlike remat='mlp', which
+        # OOMed — see Transformer docstring)
+        mlp_cls = nn.remat(MLP) if self.mlp_remat else MLP
+        mlp_out = mlp_cls(
             self.dim, self.mlp_ratio, act=self.act, dtype=self.dtype,
             param_dtype=self.param_dtype, name="mlp",
         )(LayerNorm(name="ln_2")(x))
@@ -256,7 +262,12 @@ class Transformer(nn.Module):
         blocks' outputs — the reference's forward_intermediates feature taps
         (transformer.py:475-498 / utils.py feature_take_indices)."""
         block_cls = ResidualAttentionBlock
-        if self.remat == "mlp":
+        mlp_remat = False
+        if self.remat == "mlp_scope":
+            # checkpoint only the MLP submodule of each block (see
+            # ResidualAttentionBlock.mlp_remat)
+            mlp_remat = True
+        elif self.remat == "mlp":
             import jax.ad_checkpoint as adc
 
             block_cls = nn.remat(
@@ -273,6 +284,7 @@ class Transformer(nn.Module):
                 self.width, self.heads, self.mlp_ratio,
                 ls_init_value=self.ls_init_value, act=self.act,
                 dtype=self.dtype, param_dtype=self.param_dtype,
+                mlp_remat=mlp_remat,
                 name=f"resblocks_{i}",
             )
             x = block(x, mask, is_causal)
