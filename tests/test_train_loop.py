@@ -1,0 +1,79 @@
+"""Host epoch loop: prefetch dtype passthrough, metering, early exit.
+
+The end-to-end loop is covered by tests/test_main_driver.py; these pin the
+unit-level contracts of training/train.py (reference train_one_epoch,
+src/colxlip/train.py:93-270)."""
+import numpy as np
+import pytest
+
+from colxlip_tpu.training.train import _PrefetchIterator, train_one_epoch
+
+
+def _batches(n, dtype):
+    for i in range(n):
+        imgs = np.full((4, 8, 8, 3), i, dtype)
+        texts = np.zeros((4, 2, 16), np.int32)
+        texts[:, 0, 0] = i
+        yield imgs, texts
+
+
+def test_prefetch_uint8_passthrough():
+    it = _PrefetchIterator(_batches(3, np.uint8))
+    imgs, texts = next(it)
+    assert np.asarray(imgs).dtype == np.uint8
+    assert texts.shape == (4, 16)  # caption 0 selected
+    it.close()
+
+
+def test_prefetch_float_cast():
+    it = _PrefetchIterator(_batches(3, np.float64))
+    imgs, _ = next(it)
+    assert np.asarray(imgs).dtype == np.float32
+    it.close()
+
+
+def test_prefetch_propagates_exception():
+    def bad():
+        yield next(_batches(1, np.float32))
+        raise RuntimeError("decode failed")
+
+    it = _PrefetchIterator(bad())
+    next(it)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(it)
+        next(it)
+    it.close()
+
+
+class _FakeState:
+    def __init__(self, step=0):
+        self.step = np.asarray(step)
+
+
+def test_train_one_epoch_counts_and_cuts():
+    calls = []
+
+    def step_fn(state, images, texts):
+        calls.append(int(np.asarray(images)[0, 0, 0, 0]))
+        return _FakeState(int(state.step) + 1), {"total_loss": np.float32(1.0)}
+
+    state, steps = train_one_epoch(
+        step_fn, _FakeState(5), _batches(10, np.float32),
+        epoch=0, global_batch_size=4, steps_per_epoch=4,
+        log_every_n_steps=2,
+    )
+    assert steps == 4
+    assert int(state.step) == 9
+    assert calls == [0, 1, 2, 3]
+
+
+def test_train_one_epoch_exhausts_iterator():
+    def step_fn(state, images, texts):
+        return _FakeState(int(state.step) + 1), {"total_loss": np.float32(2.0)}
+
+    state, steps = train_one_epoch(
+        step_fn, _FakeState(0), _batches(3, np.uint8),
+        epoch=1, global_batch_size=4, log_every_n_steps=100,
+    )
+    assert steps == 3
+    assert int(state.step) == 3
