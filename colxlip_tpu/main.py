@@ -33,6 +33,8 @@ from .training.checkpoint import (
     load_native_checkpoint,
     rotate_checkpoints,
     save_checkpoint,
+    save_checkpoint_async,
+    wait_for_saves,
 )
 from .training.evaluate import evaluate
 from .training.logging_utils import MetricsWriter, dump_params, setup_logging
@@ -365,16 +367,32 @@ def main(argv=None) -> int:
         if is_master and args.save_frequency > 0 and (
             completed_epoch % args.save_frequency == 0 or completed_epoch == args.epochs
         ):
-            host_state = jax.device_get(state)._asdict()
-            save_checkpoint(checkpoint_dir, host_state, epoch=completed_epoch,
-                            name=args.name)
-            if args.delete_previous_checkpoint:
-                rotate_checkpoints(checkpoint_dir, completed_epoch)
+            if args.async_checkpoint:
+                # on-device snapshot now; D2H + write overlap the next epoch
+                save_checkpoint_async(
+                    checkpoint_dir, state._asdict(), epoch=completed_epoch,
+                    name=args.name,
+                    rotate_keep_epoch=(completed_epoch
+                                       if args.delete_previous_checkpoint
+                                       else None))
+            else:
+                host_state = jax.device_get(state)._asdict()
+                save_checkpoint(checkpoint_dir, host_state,
+                                epoch=completed_epoch, name=args.name)
+                if args.delete_previous_checkpoint:
+                    rotate_checkpoints(checkpoint_dir, completed_epoch)
         if is_master and args.save_most_recent:
-            host_state = jax.device_get(state)._asdict()
-            save_checkpoint(checkpoint_dir, host_state, epoch=completed_epoch,
-                            name=args.name, most_recent=True)
+            if args.async_checkpoint:
+                save_checkpoint_async(
+                    checkpoint_dir, state._asdict(), epoch=completed_epoch,
+                    name=args.name, most_recent=True)
+            else:
+                host_state = jax.device_get(state)._asdict()
+                save_checkpoint(checkpoint_dir, host_state,
+                                epoch=completed_epoch, name=args.name,
+                                most_recent=True)
 
+    wait_for_saves()
     if sync_thread is not None:
         sync_thread.stop_event.set()
         remote_sync(log_base, os.path.join(args.remote_sync, args.name),

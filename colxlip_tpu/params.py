@@ -105,6 +105,11 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--save-frequency", type=int, default=1)
     parser.add_argument("--save-most-recent", action="store_true", default=False)
     parser.add_argument("--delete-previous-checkpoint", action="store_true", default=False)
+    parser.add_argument("--async-checkpoint", action="store_true", default=False,
+                        help="run the orbax serialize/write/rotate in a "
+                             "background thread after a device_get snapshot "
+                             "so the next epoch trains through the write "
+                             "(see checkpoint.save_checkpoint_async)")
     parser.add_argument("--remote-sync", type=str, default=None)
     parser.add_argument("--remote-sync-frequency", type=int, default=300)
     parser.add_argument("--remote-sync-protocol", choices=["s3", "fsspec"], default="s3")

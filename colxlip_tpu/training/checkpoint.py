@@ -34,6 +34,76 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+_SAVE_THREAD = None
+
+
+def wait_for_saves() -> None:
+    """Block until any in-flight async checkpoint save has finished."""
+    global _SAVE_THREAD
+    if _SAVE_THREAD is not None:
+        _SAVE_THREAD.join()
+        _SAVE_THREAD = None
+
+
+def save_checkpoint_async(
+    checkpoint_dir: str,
+    state,
+    *,
+    epoch: int,
+    name: str = "",
+    most_recent: bool = False,
+    rotate_keep_epoch: Optional[int] = None,
+) -> None:
+    """Checkpoint without stalling training (reference saves synchronously
+    with torch.save, train stops for the whole write).
+
+    Snapshot strategy (the live state's buffers are donated to the next
+    step, so a background read of them would race with donation): default
+    is a BLOCKING ``device_get`` snapshot, then the orbax serialize + write
+    + rotation run in a daemon thread — on production storage (GCS/NFS) the
+    write is the dominant cost and is fully hidden. Setting
+    $COLXLIP_ASYNC_SNAPSHOT_HBM to a byte budget enables an ON-DEVICE copy
+    snapshot for states under the budget, which also hides the
+    device->host transfer — measured on a v5e 16 GB chip this OOMs both
+    ViT-B batch-256 (1.8 GB state) and ViT-L (5 GB): the training step
+    already sits at the XLA memory-plan cliff, so it is opt-in for setups
+    with real HBM headroom only.
+
+    One save in flight at a time; ``wait_for_saves()`` joins it (called
+    before the next save, remote sync, and process exit).
+
+    rotate_keep_epoch: run ``rotate_checkpoints`` after the save completes
+    (rotation must not delete dirs while the save that supersedes them is
+    still in flight).
+    """
+    import threading
+
+    global _SAVE_THREAD
+    wait_for_saves()
+    budget = int(os.environ.get("COLXLIP_ASYNC_SNAPSHOT_HBM", 0))
+    state_bytes = sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(state)
+        if isinstance(x, jax.Array))
+    if state_bytes <= budget:
+        snap = jax.tree.map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
+    else:
+        snap = jax.device_get(state)
+
+    def _run():
+        try:
+            save_checkpoint(checkpoint_dir, snap, epoch=epoch, name=name,
+                            most_recent=most_recent)
+            if rotate_keep_epoch is not None:
+                rotate_checkpoints(checkpoint_dir, rotate_keep_epoch)
+        except Exception:  # noqa: BLE001 — surfaced in logs, not swallowed
+            logger.exception("async checkpoint save failed (epoch %d)", epoch)
+
+    t = threading.Thread(target=_run, daemon=True)
+    t.start()
+    _SAVE_THREAD = t
+
+
 def save_checkpoint(
     checkpoint_dir: str,
     state,
@@ -93,7 +163,10 @@ def get_latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
         return None
     entries = [
         e for e in os.listdir(checkpoint_dir)
-        if e.startswith("epoch_") and not e.endswith((".tmp", ".old"))
+        if e.startswith("epoch_")
+        # skip our own tmp/backup names AND orbax's in-progress dirs
+        # (epoch_N.orbax-checkpoint-tmp left by a crash mid-save)
+        and not e.endswith((".tmp", ".old", "-tmp"))
     ]
     if not entries:
         return None

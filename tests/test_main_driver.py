@@ -112,3 +112,84 @@ def test_get_latest_checkpoint_resolution(tmp_path):
     (d / "epoch_latest.tmp").mkdir()
     (d / "epoch_latest.old").mkdir()
     assert get_latest_checkpoint(str(d)).endswith("epoch_latest")
+
+
+def test_get_latest_checkpoint_skips_orbax_tmp(tmp_path):
+    """A crash mid-orbax-save leaves epoch_N.orbax-checkpoint-tmp; resume
+    must never select the incomplete dir."""
+    from colxlip_tpu.training.checkpoint import get_latest_checkpoint
+
+    d = tmp_path / "ckpts"
+    d.mkdir()
+    (d / "epoch_1").mkdir()
+    (d / "epoch_2.orbax-checkpoint-tmp").mkdir()
+    assert get_latest_checkpoint(str(d)).endswith("epoch_1")
+
+
+def test_async_checkpoint_save_roundtrip(tmp_path):
+    """save_checkpoint_async: snapshot-copy semantics + background write;
+    the restored state equals the state AT SNAPSHOT TIME even if the live
+    arrays are mutated (donated) immediately after the call returns."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from colxlip_tpu.training.checkpoint import (
+        load_native_checkpoint,
+        save_checkpoint_async,
+        wait_for_saves,
+    )
+
+    state = {"params": {"w": jnp.arange(8, dtype=jnp.float32)},
+             "step": jnp.asarray(3)}
+    save_checkpoint_async(str(tmp_path / "ck"), state, epoch=1, name="t")
+    # mutate the live reference right away (stand-in for donation)
+    state["params"]["w"] = state["params"]["w"] * 0 - 1.0
+    wait_for_saves()
+    payload = load_native_checkpoint(str(tmp_path / "ck" / "epoch_1"))
+    np.testing.assert_array_equal(
+        np.asarray(payload["state"]["params"]["w"]),
+        np.arange(8, dtype=np.float32))
+    assert payload["epoch"] == 1
+
+    # second async save waits for the first and honors rotation
+    state2 = {"params": {"w": jnp.ones(8)}, "step": jnp.asarray(4)}
+    save_checkpoint_async(str(tmp_path / "ck"), state2, epoch=2, name="t",
+                          rotate_keep_epoch=2)
+    wait_for_saves()
+    assert not (tmp_path / "ck" / "epoch_1").exists()
+    assert (tmp_path / "ck" / "epoch_2").exists()
+
+
+@pytest.mark.slow
+def test_main_async_checkpoint_e2e(tmp_path):
+    """Driver run with --async-checkpoint: saves land (after the implicit
+    wait at exit), rotation respects the in-flight save, resume works."""
+    logs = str(tmp_path / "logs")
+    argv = [
+        "--model", "ViT-S-16-test",
+        "--dataset-type", "synthetic",
+        "--train-num-samples", "32",
+        "--batch-size", "2",
+        "--epochs", "2",
+        "--lr", "1e-3",
+        "--warmup", "2",
+        "--precision", "fp32",
+        "--logs", logs,
+        "--name", "asyncsave",
+        "--workers", "0",
+        "--log-every-n-steps", "1",
+        "--save-frequency", "1",
+        "--delete-previous-checkpoint",
+        "--async-checkpoint",
+        "--maxsim-impl", "xla",
+        "--seed", "0",
+    ]
+    assert main(argv) == 0
+    ckpt_dir = os.path.join(logs, "asyncsave", "checkpoints")
+    assert not os.path.isdir(os.path.join(ckpt_dir, "epoch_1"))  # rotated
+    assert os.path.isdir(os.path.join(ckpt_dir, "epoch_2"))
+    argv_resume = argv.copy()
+    argv_resume[argv.index("--epochs") + 1] = "3"
+    argv_resume += ["--resume", "latest"]
+    assert main(argv_resume) == 0
+    assert os.path.isdir(os.path.join(ckpt_dir, "epoch_3"))
