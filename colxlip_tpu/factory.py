@@ -145,8 +145,8 @@ def create_model_and_transforms(
     grad_checkpointing: bool = False,
     alpha: float = 0.5,
     gelu_approximate: bool = False,
-    image_mean: Tuple[float, ...] = OPENAI_DATASET_MEAN,
-    image_std: Tuple[float, ...] = OPENAI_DATASET_STD,
+    image_mean: Optional[Tuple[float, ...]] = None,
+    image_std: Optional[Tuple[float, ...]] = None,
     aug_cfg: Optional[AugmentationCfg] = None,
     seed: int = 0,
     normalize_on_device: bool = False,
@@ -154,10 +154,14 @@ def create_model_and_transforms(
     """(model, cfg, params, preprocess_train, preprocess_val) —
     reference factory.py:367-421.
 
+    image_mean/image_std default to the MODEL CONFIG's stats
+    (vision_cfg.image_mean/std, OPENAI unless the JSON overrides them);
+    passing them explicitly overrides both the host transform and the
+    device-side normalization so the two always agree.
+
     normalize_on_device: the TRAIN transform emits raw uint8 RGB and the
     vision tower normalizes on the accelerator (models/vision.py) — 4x fewer
-    host->device bytes per batch. The model's cfg carries the same mean/std
-    so both paths are numerically identical.
+    host->device bytes per batch.
     """
     model, cfg = create_model(
         model_name, precision=precision, quick_gelu=quick_gelu,
@@ -166,11 +170,15 @@ def create_model_and_transforms(
         grad_checkpointing=grad_checkpointing, alpha=alpha,
         gelu_approximate=gelu_approximate,
     )
+    if image_mean is None:
+        image_mean = tuple(cfg.vision_cfg.image_mean)
+    if image_std is None:
+        image_std = tuple(cfg.vision_cfg.image_std)
     if tuple(image_mean) != tuple(cfg.vision_cfg.image_mean) or (
         tuple(image_std) != tuple(cfg.vision_cfg.image_std)
     ):
-        # keep the device-side normalization stats in sync with the host
-        # transform when a non-OPENAI mean/std is requested
+        # explicit caller stats win; keep the device-side normalization in
+        # sync with the host transform
         cfg = dataclasses.replace(
             cfg,
             vision_cfg=dataclasses.replace(

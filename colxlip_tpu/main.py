@@ -216,6 +216,8 @@ def main(argv=None) -> int:
         grad_checkpointing=args.grad_checkpointing,
         alpha=args.alpha,
         gelu_approximate=args.gelu_approx,
+        image_mean=tuple(args.image_mean) if args.image_mean else None,
+        image_std=tuple(args.image_std) if args.image_std else None,
         seed=args.seed,
         normalize_on_device=args.normalize_on_device,
     )
@@ -364,30 +366,30 @@ def main(argv=None) -> int:
                 zero_shot_fn=zs,
             )
 
-        if is_master and args.save_frequency > 0 and (
+        do_numbered = is_master and args.save_frequency > 0 and (
             completed_epoch % args.save_frequency == 0 or completed_epoch == args.epochs
+        )
+        if args.async_checkpoint and is_master and (
+            do_numbered or args.save_most_recent
         ):
-            if args.async_checkpoint:
-                # on-device snapshot now; D2H + write overlap the next epoch
-                save_checkpoint_async(
-                    checkpoint_dir, state._asdict(), epoch=completed_epoch,
-                    name=args.name,
-                    rotate_keep_epoch=(completed_epoch
-                                       if args.delete_previous_checkpoint
-                                       else None))
-            else:
-                host_state = jax.device_get(state)._asdict()
+            # one snapshot feeds both the numbered and latest writes; the
+            # orbax serialize/write/rotate overlap the next epoch
+            save_checkpoint_async(
+                checkpoint_dir, state._asdict(), epoch=completed_epoch,
+                name=args.name,
+                most_recent=not do_numbered,
+                also_most_recent=do_numbered and args.save_most_recent,
+                rotate_keep_epoch=(completed_epoch
+                                   if do_numbered and args.delete_previous_checkpoint
+                                   else None))
+        elif is_master and (do_numbered or args.save_most_recent):
+            host_state = jax.device_get(state)._asdict()
+            if do_numbered:
                 save_checkpoint(checkpoint_dir, host_state,
                                 epoch=completed_epoch, name=args.name)
                 if args.delete_previous_checkpoint:
                     rotate_checkpoints(checkpoint_dir, completed_epoch)
-        if is_master and args.save_most_recent:
-            if args.async_checkpoint:
-                save_checkpoint_async(
-                    checkpoint_dir, state._asdict(), epoch=completed_epoch,
-                    name=args.name, most_recent=True)
-            else:
-                host_state = jax.device_get(state)._asdict()
+            if args.save_most_recent:
                 save_checkpoint(checkpoint_dir, host_state,
                                 epoch=completed_epoch, name=args.name,
                                 most_recent=True)

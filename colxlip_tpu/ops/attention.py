@@ -163,9 +163,17 @@ def multi_head_attention(
     the CLIP towers.
     """
     impl = resolve_impl(impl)
+    known = {"fused", "flash", "xla", "xla_bf16", "xla_remat"}
+    if impl not in known:
+        # a typo'd COLXLIP_ATTN_IMPL silently benchmarking the wrong path is
+        # exactly how round-2 perf numbers go wrong — fail loudly
+        raise ValueError(f"unknown attention impl {impl!r}; one of {sorted(known)}")
     if mask is None:
-        if impl == "fused":
-            # repack to [B, N, 3*H*D] for the packed kernel. Callers on the
+        if impl == "fused" and q.shape[1] == k.shape[1] == v.shape[1]:
+            # repack to [B, N, 3*H*D] for the packed kernel (self-attention
+            # only: the kernel derives one N from the packed tensor, so
+            # cross-attention — AttentionalPooler, CoCa — with differing
+            # q/kv lengths must take the XLA path below). Callers on the
             # hot path (models/layers.py MultiHeadAttention) hand the packed
             # in_proj output to fused_mha_packed directly and skip this copy.
             from .fused_attention import fused_mha_packed

@@ -191,33 +191,38 @@ def _maxsim_streaming_core(t, token_image, m_chunk):
 
 def _maxsim_streaming_fwd(t, token_image, m_chunk):
     max_sim = _mknq_max_tiles(t, token_image, m_chunk)
-    return max_sim, (t, token_image, max_sim)
+    return max_sim, (t, token_image)
 
 
 def _maxsim_streaming_bwd(m_chunk, res, g):
-    t, token_image, max_sim = res
+    t, token_image = res
     m, lt, d = t.shape
     k, li, _ = token_image.shape
     n_tiles = m // m_chunk
     tiles_t = t.reshape(n_tiles, m_chunk, lt, d)
-    tiles_ms = max_sim.reshape(n_tiles, m_chunk, k, lt)
     tiles_g = g.astype(jnp.float32).reshape(n_tiles, m_chunk, k, lt)
     i_f32 = token_image.astype(jnp.float32)
 
     def body(di_acc, args):
-        t_tile, ms_tile, g_tile = args
+        t_tile, g_tile = args
         sim = jnp.einsum(
             "mnd,kqd->mknq", t_tile, token_image,
             preferred_element_type=jnp.float32,
         )
-        coef = jnp.where(sim >= ms_tile[..., None], g_tile[..., None], 0.0)
+        # Route against the max of THIS recomputed sim, not the saved
+        # forward max: the two einsums compile in different fusion contexts,
+        # and a 1-ULP accumulation difference against a saved value would
+        # silently zero the whole row's gradient. Self-consistent routing
+        # always hits >= 1 token (and drops the [M,K,Lt] residual).
+        ms_local = jnp.max(sim, axis=3, keepdims=True)
+        coef = jnp.where(sim >= ms_local, g_tile[..., None], 0.0)
         dt = jnp.einsum("mknq,kqd->mnd", coef, i_f32)
         di = jnp.einsum("mknq,mnd->kqd", coef, t_tile.astype(jnp.float32))
         return di_acc + di, dt
 
     di, dts = jax.lax.scan(
         body, jnp.zeros((k, li, d), jnp.float32),
-        (tiles_t, tiles_ms, tiles_g),
+        (tiles_t, tiles_g),
     )
     return (dts.reshape(m, lt, d).astype(t.dtype), di.astype(token_image.dtype))
 
@@ -272,7 +277,8 @@ def maxsim(
         return maxsim_xla(token_text, token_image, mask_mode=mask_mode, text_mask=text_mask)
     if impl == "streaming":
         return maxsim_streaming(
-            token_text, token_image, mask_mode=mask_mode, text_mask=text_mask
+            token_text, token_image, mask_mode=mask_mode, text_mask=text_mask,
+            m_chunk=m_chunk,
         )
     if impl == "chunked":
         return maxsim_chunked(

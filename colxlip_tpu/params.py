@@ -146,6 +146,14 @@ def parse_args(args=None) -> argparse.Namespace:
                              "fetch the real table: scripts/fetch_assets.py)")
     parser.add_argument("--precision", type=str, default="bf16",
                         choices=["bf16", "pure_bf16", "fp32", "amp", "amp_bf16"])
+    parser.add_argument("--image-mean", type=float, nargs="+", default=None,
+                        metavar="MEAN",
+                        help="override the model's image mean (reference "
+                             "params.py:721)")
+    parser.add_argument("--image-std", type=float, nargs="+", default=None,
+                        metavar="STD",
+                        help="override the model's image std (reference "
+                             "params.py:724)")
     parser.add_argument("--force-quick-gelu", default=False, action="store_true")
     parser.add_argument("--gelu-approx", default=False, action="store_true",
                         help="tanh-approx GELU (~10%% faster tower; tiny numeric diff)")

@@ -52,6 +52,7 @@ def save_checkpoint_async(
     epoch: int,
     name: str = "",
     most_recent: bool = False,
+    also_most_recent: bool = False,
     rotate_keep_epoch: Optional[int] = None,
 ) -> None:
     """Checkpoint without stalling training (reference saves synchronously
@@ -71,6 +72,10 @@ def save_checkpoint_async(
 
     One save in flight at a time; ``wait_for_saves()`` joins it (called
     before the next save, remote sync, and process exit).
+
+    also_most_recent: additionally write ``epoch_latest`` from the SAME
+    snapshot (one device->host transfer serves both saves — calling twice
+    would snapshot and transfer twice).
 
     rotate_keep_epoch: run ``rotate_checkpoints`` after the save completes
     (rotation must not delete dirs while the save that supersedes them is
@@ -94,6 +99,9 @@ def save_checkpoint_async(
         try:
             save_checkpoint(checkpoint_dir, snap, epoch=epoch, name=name,
                             most_recent=most_recent)
+            if also_most_recent and not most_recent:
+                save_checkpoint(checkpoint_dir, snap, epoch=epoch, name=name,
+                                most_recent=True)
             if rotate_keep_epoch is not None:
                 rotate_checkpoints(checkpoint_dir, rotate_keep_epoch)
         except Exception:  # noqa: BLE001 — surfaced in logs, not swallowed

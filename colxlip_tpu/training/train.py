@@ -76,8 +76,12 @@ class _PrefetchIterator:
                 if self._stop.is_set():
                     return
             item = self._DONE
-        except Exception as e:  # noqa: BLE001 — re-raised in the consumer
-            item = e
+        except BaseException as e:  # noqa: BLE001 — re-raised in the consumer
+            # BaseException: a SystemExit/KeyboardInterrupt raised inside
+            # library code must still post a sentinel, or the consumer's
+            # queue.get would hang forever
+            item = e if isinstance(e, Exception) else RuntimeError(
+                f"prefetch producer died: {type(e).__name__}: {e}")
         while not self._stop.is_set():
             try:
                 self._q.put(item, timeout=0.5)
@@ -89,7 +93,14 @@ class _PrefetchIterator:
         return self
 
     def __next__(self):
-        item = self._q.get()
+        while True:
+            try:
+                item = self._q.get(timeout=5.0)
+                break
+            except queue.Empty:
+                if not self._thread.is_alive():
+                    raise RuntimeError(
+                        "prefetch producer thread died without a sentinel")
         if item is self._DONE:
             raise StopIteration
         if isinstance(item, Exception):

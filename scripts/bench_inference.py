@@ -82,7 +82,7 @@ def main():
             return y
 
         run = jax.jit(chained)
-        for _ in range(args.warmup):
+        for _ in range(max(1, args.warmup)):
             r = run(params, x)
         jax.device_get(jnp.ravel(r)[0])
         t0 = time.perf_counter()

@@ -94,3 +94,26 @@ def test_dispatch_repack_path():
     out_xla = A.xla_attention(q, k, v)
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_xla), atol=2e-5)
+
+
+def test_dispatch_cross_attention_falls_back(rng):
+    """impl='fused' with differing q/kv lengths (AttentionalPooler, CoCa
+    cross-attention) must route to the XLA path, not crash on repack."""
+    import jax.numpy as jnp
+    from colxlip_tpu.ops.attention import multi_head_attention
+
+    q = jnp.asarray(rng.standard_normal((2, 256, 8, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 197, 8, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 197, 8, 64)), jnp.float32)
+    out = multi_head_attention(q, k, v, impl="fused")
+    assert out.shape == (2, 256, 8, 64)
+
+
+def test_dispatch_unknown_impl_raises(rng):
+    import jax.numpy as jnp
+    import pytest
+    from colxlip_tpu.ops.attention import multi_head_attention
+
+    q = jnp.zeros((1, 4, 2, 8))
+    with pytest.raises(ValueError, match="unknown attention impl"):
+        multi_head_attention(q, q, q, impl="pallas")
