@@ -25,6 +25,9 @@ def main():
     p.add_argument("--text-batch-size", type=int, default=4096)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--int8", action="store_true",
+                   help="also measure the int8 PTQ vision encoder "
+                        "(colxlip_tpu.serving)")
     args = p.parse_args()
 
     import jax
@@ -61,7 +64,7 @@ def main():
     def encode_texts(p, x):
         return model.apply(p, None, x)["text_features"]
 
-    def measure(fn, x, n_items):
+    def measure(fn, p_tree, x, n_items):
         # chain iterations through a tiny output-dependent feedback so the
         # loop can be neither hoisted nor dead-coded (bench.py methodology).
         # params MUST be a jit argument — closing over the concrete arrays
@@ -83,16 +86,16 @@ def main():
 
         run = jax.jit(chained)
         for _ in range(max(1, args.warmup)):
-            r = run(params, x)
+            r = run(p_tree, x)
         jax.device_get(jnp.ravel(r)[0])
         t0 = time.perf_counter()
-        r = run(params, x)
+        r = run(p_tree, x)
         jax.device_get(jnp.ravel(r)[0])
         dt = time.perf_counter() - t0
         return args.steps * n_items / dt
 
-    img_ips = measure(encode_images, imgs, args.batch_size)
-    txt_ips = measure(encode_texts, texts, args.text_batch_size)
+    img_ips = measure(encode_images, params, imgs, args.batch_size)
+    txt_ips = measure(encode_texts, params, texts, args.text_batch_size)
     print(json.dumps({
         "metric": f"inference encode_image img/s ({args.model}, bf16, "
                   f"batch {args.batch_size})",
@@ -103,6 +106,23 @@ def main():
                   f"{args.text_batch_size})",
         "value": round(txt_ips, 1), "unit": "texts/sec/chip",
     }))
+
+    if args.int8:
+        from colxlip_tpu.serving import (
+            quantize_vision_params, vision_encode_int8,
+        )
+
+        qp = quantize_vision_params(params)
+
+        def encode_images_int8(q, x):
+            return vision_encode_int8(cfg, q, x)
+
+        int8_ips = measure(encode_images_int8, qp, imgs, args.batch_size)
+        print(json.dumps({
+            "metric": f"inference encode_image img/s ({args.model}, int8 PTQ "
+                      f"weights+activations, batch {args.batch_size})",
+            "value": round(int8_ips, 1), "unit": "images/sec/chip",
+        }))
 
 
 if __name__ == "__main__":

@@ -405,3 +405,38 @@ def test_wds_pipeline_uses_sizes_json(tmp_path):
     cfg = WdsConfig(urls=str(shard), batch_size=4, num_workers=1)
     pipe = WdsTrainPipeline(cfg, transform=None, tokenizer=None)
     assert pipe.num_batches == 2
+
+
+def test_wds_pipeline_normalize_on_device_uint8(tar_shards):
+    """normalize_on_device transform -> the pipeline yields uint8 batches
+    (native decode and PIL fallback agree on dtype)."""
+    tok = SimpleTokenizer(context_length=16)
+    transform = image_transform(32, is_train=True, seed=0,
+                                normalize_on_device=True)
+    cfg = WdsConfig(
+        urls=os.path.join(tar_shards, "shard-{0000..0001}.tar"),
+        batch_size=4, num_samples=16, num_workers=2, shuffle_buffer=0,
+        native_decode=True, decode_threads=2,
+    )
+    pipe = WdsTrainPipeline(cfg, transform, tok, SharedEpoch(0))
+    imgs, txts = next(iter(pipe))
+    assert imgs.dtype == np.uint8
+    assert imgs.shape == (4, 32, 32, 3)
+    assert imgs.max() > 0
+
+
+def test_grain_pipeline_normalize_on_device_uint8(tar_shards):
+    from colxlip_tpu.data.grain_pipeline import GrainTrainPipeline
+
+    tok = SimpleTokenizer(context_length=16)
+    transform = image_transform(32, is_train=True, seed=0,
+                                normalize_on_device=True)
+    cfg = WdsConfig(
+        urls=os.path.join(tar_shards, "shard-{0000..0001}.tar"),
+        batch_size=4, num_samples=16, num_workers=0, shuffle_buffer=8,
+        native_decode=True,
+    )
+    pipe = GrainTrainPipeline(cfg, transform, tok, SharedEpoch(0))
+    imgs, txts = next(iter(pipe))
+    assert imgs.dtype == np.uint8
+    assert imgs.max() > 0
