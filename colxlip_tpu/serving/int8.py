@@ -85,11 +85,14 @@ def quantize_vision_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def _qdense(x: jnp.ndarray, qw: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    """[..., in] fp -> [..., out] fp32 via int8 x int8 -> int32 MXU matmul.
+def _qdense(x: jnp.ndarray, qw: Dict[str, jnp.ndarray],
+            out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[..., in] fp -> [..., out] via int8 x int8 -> int32 MXU matmul.
 
     Activations: per-row (token) dynamic absmax int8. The quant/dequant
     elementwise work fuses around the matmul; the matmul itself runs int8.
+    Output is bf16 by default — carrying fp32 between layers blew HBM with
+    591 MB temps per layer at batch 1024 (quant noise dwarfs bf16 rounding).
     """
     shape = x.shape
     xf = x.reshape(-1, shape[-1]).astype(jnp.float32)
@@ -103,16 +106,18 @@ def _qdense(x: jnp.ndarray, qw: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     y = acc.astype(jnp.float32) * row_scale * qw["scale"][None, :]
     if "bias" in qw:
         y = y + qw["bias"]
-    return y.reshape(*shape[:-1], qw["q"].shape[1])
+    return y.astype(out_dtype).reshape(*shape[:-1], qw["q"].shape[1])
 
 
-def _layernorm(x: jnp.ndarray, ln: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+def _layernorm(x: jnp.ndarray, ln: Dict[str, jnp.ndarray],
+               out_dtype=jnp.bfloat16) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
-    return y * jnp.asarray(ln["scale"], jnp.float32) + jnp.asarray(
+    y = y * jnp.asarray(ln["scale"], jnp.float32) + jnp.asarray(
         ln["bias"], jnp.float32)
+    return y.astype(out_dtype)
 
 
 def vision_encode_int8(cfg, qparams: Dict[str, Any], images: jnp.ndarray,
@@ -146,9 +151,10 @@ def vision_encode_int8(cfg, qparams: Dict[str, Any], images: jnp.ndarray,
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * 3)
     x = _qdense(x, qparams["conv1"])
 
-    cls = jnp.broadcast_to(qparams["class_embedding"], (b, 1, width))
+    cls = jnp.broadcast_to(
+        qparams["class_embedding"].astype(jnp.bfloat16), (b, 1, width))
     x = jnp.concatenate([cls, x], axis=1)
-    x = x + qparams["positional_embedding"]
+    x = x + qparams["positional_embedding"].astype(jnp.bfloat16)
     if qparams.get("ln_pre") is not None:
         x = _layernorm(x, qparams["ln_pre"])
 
@@ -157,7 +163,7 @@ def vision_encode_int8(cfg, qparams: Dict[str, Any], images: jnp.ndarray,
     heads = vcfg.heads
     for blk in qparams["blocks"]:
         h = _layernorm(x, blk["ln_1"])
-        qkv = _qdense(h, blk["in_proj"]).astype(jnp.bfloat16)
+        qkv = _qdense(h, blk["in_proj"])
         if interpret or jax.default_backend() == "tpu":
             attn = fused_mha_packed(qkv, heads, False, 0, interpret)
         else:
@@ -170,7 +176,7 @@ def vision_encode_int8(cfg, qparams: Dict[str, Any], images: jnp.ndarray,
 
     x = _layernorm(x, qparams["ln_post"])
     pooled = x[:, 0]
-    pooled = _qdense(pooled, qparams["proj"])
+    pooled = _qdense(pooled, qparams["proj"], out_dtype=jnp.float32)
     if normalize:
         n = jnp.sqrt(jnp.maximum(jnp.sum(pooled * pooled, -1, keepdims=True),
                                  1e-12))
