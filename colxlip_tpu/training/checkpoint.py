@@ -203,12 +203,17 @@ def get_latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
 
 
 def rotate_checkpoints(checkpoint_dir: str, current_epoch: int) -> None:
-    """--delete-previous-checkpoint semantics (reference main.py:424-434)."""
+    """--delete-previous-checkpoint: remove numbered checkpoints older than
+    ``current_epoch``. (The reference, main.py:431-434, deletes only the
+    literal ``epoch_{N-1}.pt`` — with ``--save-frequency > 1`` that file
+    never exists and nothing is ever rotated; deliberate fix.)"""
     import shutil
 
-    prev = os.path.join(checkpoint_dir, f"epoch_{current_epoch - 1}")
-    if os.path.exists(prev):
-        shutil.rmtree(prev, ignore_errors=True)
+    for entry in os.listdir(checkpoint_dir):
+        m = re.fullmatch(r"epoch_(\d+)", entry)
+        if m and int(m.group(1)) < current_epoch:
+            shutil.rmtree(os.path.join(checkpoint_dir, entry),
+                          ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -193,3 +193,19 @@ def test_main_async_checkpoint_e2e(tmp_path):
     argv_resume += ["--resume", "latest"]
     assert main(argv_resume) == 0
     assert os.path.isdir(os.path.join(ckpt_dir, "epoch_3"))
+
+
+def test_rotate_checkpoints_save_frequency_gt_1(tmp_path):
+    """Rotation removes ALL older numbered checkpoints — with
+    --save-frequency 2 the reference's epoch-minus-1 deletion never fires
+    (main.py:431-434); ours must still rotate."""
+    from colxlip_tpu.training.checkpoint import rotate_checkpoints
+
+    d = tmp_path / "ck"
+    d.mkdir()
+    for e in (2, 4, 6):
+        (d / f"epoch_{e}").mkdir()
+    (d / "epoch_latest").mkdir()
+    rotate_checkpoints(str(d), 6)
+    left = sorted(p.name for p in d.iterdir())
+    assert left == ["epoch_6", "epoch_latest"]
