@@ -30,6 +30,7 @@ from .parallel.train_step import (
 )
 from .training.checkpoint import (
     get_latest_checkpoint,
+    get_latest_checkpoint_remote,
     load_native_checkpoint,
     rotate_checkpoints,
     save_checkpoint,
@@ -42,7 +43,7 @@ from .training.optim import create_optimizer
 from .training.schedules import const_lr, const_lr_cooldown, cosine_lr
 from .training.train import train_one_epoch
 from .params import parse_args
-from .utils.file_utils import remote_sync, start_sync_process
+from .utils.file_utils import remote_sync, remote_sync_pull, start_sync_process
 
 logger = logging.getLogger(__name__)
 
@@ -177,8 +178,35 @@ def main(argv=None) -> int:
     # mitigation, main.py:150-170)
     resume_from = None
     if args.resume == "latest":
-        found = get_latest_checkpoint(checkpoint_dir) if is_master else ""
-        resume_from = _broadcast_str(found or "") or None
+        if args.remote_sync:
+            # with remote sync the REMOTE checkpoints dir is authoritative
+            # (a fresh host has an empty local dir) — reference main.py:
+            # 141-149 incl. both hard constraints
+            if args.save_most_recent:
+                logger.error(
+                    "Cannot use save-most-recent with remote_sync and "
+                    "resume latest.")
+                return 1
+            if args.remote_sync_protocol != "s3":
+                logger.error(
+                    "Sync protocol not supported when using resume latest.")
+                return 1
+            remote_ckpts = os.path.join(args.remote_sync, args.name,
+                                        "checkpoints")
+            found = (get_latest_checkpoint_remote(remote_ckpts)
+                     if is_master else "")
+            found = _broadcast_str(found or "") or None
+            if found:
+                # orbax restores from local paths: pull the one checkpoint
+                # down before restore (each host needs its own copy)
+                local = os.path.join(checkpoint_dir, os.path.basename(found))
+                if not remote_sync_pull(found, local):
+                    logger.error("failed to fetch remote checkpoint %s", found)
+                    return 1
+                resume_from = local
+        else:
+            found = get_latest_checkpoint(checkpoint_dir) if is_master else ""
+            resume_from = _broadcast_str(found or "") or None
         if resume_from:
             logger.info("Found latest checkpoint: %s", resume_from)
     elif args.resume:

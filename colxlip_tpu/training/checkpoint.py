@@ -202,6 +202,33 @@ def get_latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
     return latest_path
 
 
+def get_latest_checkpoint_remote(remote_dir: str) -> Optional[str]:
+    """Newest epoch_* checkpoint under an s3 prefix (reference main.py:142-162:
+    with --remote-sync, resume-latest must consult the REMOTE checkpoints
+    dir — the local one may be empty on a fresh host). Lists via
+    ``aws s3 ls``; returns the full s3 path or None."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            ["aws", "s3", "ls", remote_dir.rstrip("/") + "/"],
+            capture_output=True, text=True, timeout=120, check=True,
+        )
+    except (OSError, subprocess.SubprocessError) as e:
+        logger.error("remote checkpoint listing failed: %s", e)
+        return None
+    names = []
+    for line in proc.stdout.splitlines():
+        # dir entries look like "                           PRE epoch_3/"
+        part = line.split()[-1].rstrip("/") if line.split() else ""
+        if re.fullmatch(r"epoch_\d+", part):
+            names.append(part)
+    if not names:
+        return None
+    names.sort(key=_natural_key)
+    return remote_dir.rstrip("/") + "/" + names[-1]
+
+
 def rotate_checkpoints(checkpoint_dir: str, current_epoch: int) -> None:
     """--delete-previous-checkpoint: remove numbered checkpoints older than
     ``current_epoch``. (The reference, main.py:431-434, deletes only the

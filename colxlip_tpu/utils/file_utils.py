@@ -32,6 +32,23 @@ def remote_sync_s3(local_dir: str, remote_dir: str) -> bool:
     return True
 
 
+def remote_sync_pull(remote_dir: str, local_dir: str) -> bool:
+    """Fetch one remote checkpoint dir to local (resume-latest with
+    --remote-sync: orbax restores from local paths only)."""
+    try:
+        result = subprocess.run(
+            ["aws", "s3", "sync", remote_dir, local_dir, "--exact-timestamps"],
+            capture_output=True, timeout=3600,
+        )
+    except (FileNotFoundError, subprocess.TimeoutExpired) as e:
+        logger.error("error fetching from s3: %s", e)
+        return False
+    if result.returncode != 0:
+        logger.error("error: %s", result.stderr.decode()[:500])
+        return False
+    return True
+
+
 def remote_sync_fsspec(local_dir: str, remote_dir: str) -> bool:
     try:
         import fsspec

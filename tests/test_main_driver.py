@@ -209,3 +209,31 @@ def test_rotate_checkpoints_save_frequency_gt_1(tmp_path):
     rotate_checkpoints(str(d), 6)
     left = sorted(p.name for p in d.iterdir())
     assert left == ["epoch_6", "epoch_latest"]
+
+
+def test_get_latest_checkpoint_remote_parses_s3_ls(tmp_path, monkeypatch):
+    """Remote resume-latest discovery parses `aws s3 ls` dir entries and
+    natural-sorts (reference main.py:142-162 remote branch)."""
+    import subprocess
+    from colxlip_tpu.training import checkpoint as ck
+
+    listing = (
+        "                           PRE epoch_2/\n"
+        "                           PRE epoch_10/\n"
+        "                           PRE epoch_10.orbax-checkpoint-tmp/\n"
+        "2026-01-01 00:00:00        123 stray_file\n"
+    )
+
+    def fake_run(cmd, **kw):
+        assert cmd[:3] == ["aws", "s3", "ls"]
+        return subprocess.CompletedProcess(cmd, 0, stdout=listing, stderr="")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    got = ck.get_latest_checkpoint_remote("s3://bucket/run/checkpoints")
+    assert got == "s3://bucket/run/checkpoints/epoch_10"
+
+    def failing_run(cmd, **kw):
+        raise FileNotFoundError("aws not installed")
+
+    monkeypatch.setattr(subprocess, "run", failing_run)
+    assert ck.get_latest_checkpoint_remote("s3://bucket/x") is None
