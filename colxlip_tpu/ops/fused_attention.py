@@ -133,7 +133,19 @@ def _bwd_kernel(qkv_ref, dout_ref, dqkv_ref, *, heads: int, head_dim: int,
             ).astype(dqkv_ref.dtype)
 
 
+def _require_tpu(interpret: bool) -> None:
+    # A forced impl='fused' on a non-TPU backend dies inside Mosaic lowering
+    # with an opaque error; fail with an actionable one instead (tests use
+    # interpret=True, which runs anywhere).
+    if not interpret and jax.default_backend() != "tpu":
+        raise RuntimeError(
+            "the fused packed-QKV attention kernel requires a TPU backend "
+            f"(got {jax.default_backend()!r}); use attn impl 'xla', or pass "
+            "interpret=True for functional testing")
+
+
 def _fwd_call(qkv, heads, causal, block_b, interpret):
+    _require_tpu(interpret)
     b, n, three_hd = qkv.shape
     hd = three_hd // 3
     head_dim = hd // heads

@@ -35,14 +35,23 @@ def _checkpointer():
 
 
 _SAVE_THREAD = None
+_SAVE_ERROR: Optional[BaseException] = None
 
 
 def wait_for_saves() -> None:
-    """Block until any in-flight async checkpoint save has finished."""
-    global _SAVE_THREAD
+    """Block until any in-flight async checkpoint save has finished.
+
+    Re-raises a failure from the background writer: a swallowed save error
+    (disk full, serialization bug) would otherwise let training exit 0 with
+    no checkpoint on disk — the synchronous path crashes loudly, so must we.
+    """
+    global _SAVE_THREAD, _SAVE_ERROR
     if _SAVE_THREAD is not None:
         _SAVE_THREAD.join()
         _SAVE_THREAD = None
+    if _SAVE_ERROR is not None:
+        err, _SAVE_ERROR = _SAVE_ERROR, None
+        raise RuntimeError("async checkpoint save failed") from err
 
 
 def save_checkpoint_async(
@@ -96,6 +105,7 @@ def save_checkpoint_async(
         snap = jax.device_get(state)
 
     def _run():
+        global _SAVE_ERROR
         try:
             save_checkpoint(checkpoint_dir, snap, epoch=epoch, name=name,
                             most_recent=most_recent)
@@ -104,8 +114,9 @@ def save_checkpoint_async(
                                 most_recent=True)
             if rotate_keep_epoch is not None:
                 rotate_checkpoints(checkpoint_dir, rotate_keep_epoch)
-        except Exception:  # noqa: BLE001 — surfaced in logs, not swallowed
+        except Exception as e:  # noqa: BLE001 — recorded, re-raised in wait_for_saves
             logger.exception("async checkpoint save failed (epoch %d)", epoch)
+            _SAVE_ERROR = e
 
     t = threading.Thread(target=_run, daemon=True)
     t.start()
@@ -169,12 +180,14 @@ def get_latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
     """Newest epoch_* dir by natural sort (reference main.py:54-67)."""
     if not os.path.isdir(checkpoint_dir):
         return None
+    # POSITIVE selection: only complete checkpoints are named exactly
+    # epoch_<N> or epoch_latest. A suffix blacklist missed orbax 0.11's
+    # timestamped in-progress names (epoch_N.orbax-checkpoint-tmp-<ts>),
+    # which a crash mid-save leaves behind — resume must never pick those,
+    # nor our own .tmp/.old atomic-replace leftovers.
     entries = [
         e for e in os.listdir(checkpoint_dir)
-        if e.startswith("epoch_")
-        # skip our own tmp/backup names AND orbax's in-progress dirs
-        # (epoch_N.orbax-checkpoint-tmp left by a crash mid-save)
-        and not e.endswith((".tmp", ".old", "-tmp"))
+        if re.fullmatch(r"epoch_(\d+|latest)", e)
     ]
     if not entries:
         return None

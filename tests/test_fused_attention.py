@@ -117,3 +117,15 @@ def test_dispatch_unknown_impl_raises(rng):
     q = jnp.zeros((1, 4, 2, 8))
     with pytest.raises(ValueError, match="unknown attention impl"):
         multi_head_attention(q, q, q, impl="pallas")
+
+
+def test_fused_on_non_tpu_backend_raises_clearly(rng):
+    """Forcing the fused kernel on a non-TPU backend must raise an
+    actionable error, not an opaque Mosaic lowering failure (ADVICE r2)."""
+    import jax.numpy as jnp
+    import pytest
+    from colxlip_tpu.ops.attention import multi_head_attention
+
+    q = jnp.zeros((1, 8, 2, 8), jnp.float32)
+    with pytest.raises(RuntimeError, match="requires a TPU backend"):
+        multi_head_attention(q, q, q, impl="fused")

@@ -115,14 +115,18 @@ def test_get_latest_checkpoint_resolution(tmp_path):
 
 
 def test_get_latest_checkpoint_skips_orbax_tmp(tmp_path):
-    """A crash mid-orbax-save leaves epoch_N.orbax-checkpoint-tmp; resume
-    must never select the incomplete dir."""
+    """A crash mid-orbax-save leaves an in-progress dir; resume must never
+    select it. Orbax 0.11 names these epoch_N.orbax-checkpoint-tmp-<timestamp>
+    (TMP_DIR_SUFFIX + timestamp) — a suffix blacklist on '-tmp' missed the
+    timestamped form, so selection is positive-match only."""
     from colxlip_tpu.training.checkpoint import get_latest_checkpoint
 
     d = tmp_path / "ckpts"
     d.mkdir()
     (d / "epoch_1").mkdir()
     (d / "epoch_2.orbax-checkpoint-tmp").mkdir()
+    (d / "epoch_3.orbax-checkpoint-tmp-1234567890").mkdir()
+    (d / "epoch_4suffix").mkdir()
     assert get_latest_checkpoint(str(d)).endswith("epoch_1")
 
 
@@ -158,6 +162,24 @@ def test_async_checkpoint_save_roundtrip(tmp_path):
     wait_for_saves()
     assert not (tmp_path / "ck" / "epoch_1").exists()
     assert (tmp_path / "ck" / "epoch_2").exists()
+
+
+def test_async_checkpoint_failure_surfaces(tmp_path, monkeypatch):
+    """A failed background save (disk full, serialization error) must raise
+    from wait_for_saves(), not let the run exit 0 with no checkpoint."""
+    import jax.numpy as jnp
+    from colxlip_tpu.training import checkpoint as ck
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(ck, "save_checkpoint", boom)
+    ck.save_checkpoint_async(str(tmp_path / "ck"),
+                             {"params": {"w": jnp.zeros(2)}}, epoch=1)
+    with pytest.raises(RuntimeError, match="async checkpoint save failed"):
+        ck.wait_for_saves()
+    # the error is consumed: a later wait is clean
+    ck.wait_for_saves()
 
 
 @pytest.mark.slow
