@@ -51,6 +51,11 @@ def _ring_maxsim_rows(
     transpose=False: rows = maxsim(local queries, rotating key blocks).
     transpose=True : rows = maxsim(rotating query blocks, local keys).T —
     used for the image-row direction where the local tensor is the key side.
+
+    The ring is a ``lax.scan`` over ring steps, not an unrolled Python loop:
+    at pod scale (64+ devices) unrolling would inline one MaxSim subgraph
+    per step per direction into the HLO and blow up compile time; the scan
+    compiles ONE block body regardless of ring size.
     """
     n = jax.lax.axis_size(axis_name)
     rank = jax.lax.axis_index(axis_name)
@@ -65,8 +70,8 @@ def _ring_maxsim_rows(
         # block appearing as columns/rotating queries
         rotating = jax.lax.stop_gradient(rotating)
 
-    cols = jnp.zeros((b_rows, n * b_block), jnp.float32)
-    for s in range(n):
+    def body(carry, s):
+        rotating, rot_mask, cols = carry
         owner = (rank - s) % n  # whose block we currently hold
         if not transpose:
             block = maxsim(local, rotating, mask_mode=mask_mode,
@@ -74,11 +79,19 @@ def _ring_maxsim_rows(
         else:
             block = maxsim(rotating, local, mask_mode=mask_mode,
                            text_mask=rot_mask, impl=maxsim_impl).T
-        cols = jax.lax.dynamic_update_slice(cols, block, (0, owner * b_block))
-        if s != n - 1:
-            rotating = _ring_shift(rotating, axis_name)
-            if rot_mask is not None:
-                rot_mask = _ring_shift(rot_mask, axis_name)
+        cols = jax.lax.dynamic_update_slice(
+            cols, block.astype(cols.dtype), (0, owner * b_block))
+        rotating = _ring_shift(rotating, axis_name)
+        if rot_mask is not None:
+            rot_mask = _ring_shift(rot_mask, axis_name)
+        return (rotating, rot_mask, cols), None
+
+    cols0 = jnp.zeros((b_rows, n * b_block), jnp.float32)
+    # the zeros init is unvarying over the mesh axis while the body writes
+    # varying blocks into it — pcast aligns the scan carry's manual-axes type
+    cols0 = jax.lax.pcast(cols0, (axis_name,), to="varying")
+    (_, _, cols), _ = jax.lax.scan(
+        body, (rotating, rot_mask, cols0), jnp.arange(n))
     return cols
 
 

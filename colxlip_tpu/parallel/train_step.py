@@ -118,6 +118,34 @@ def compute_loss(out: Dict[str, jnp.ndarray], cfg: TrainStepConfig,
     raise ValueError(f"unknown loss_type: {cfg.loss_type!r}")
 
 
+def build_forward(model, cfg: TrainStepConfig,
+                  teacher: Optional[Tuple[Any, Any]] = None):
+    """forward(params, images, texts) -> model-output dict, shared by the
+    shard_map and GSPMD steps so loss-relevant extras (the 'valid' text mask,
+    stop-gradient teacher features for distillation) are computed identically
+    on both paths."""
+    teacher_model, teacher_params = teacher if teacher is not None else (None, None)
+
+    def forward(params, images, texts):
+        out = model.apply(params, images, texts, train=True)
+        if teacher_model is not None:
+            t_out = teacher_model.apply(teacher_params, images, texts)
+            out = dict(out)
+            out["dist_image_features"] = jax.lax.stop_gradient(t_out["image_features"])
+            out["dist_text_features"] = jax.lax.stop_gradient(t_out["text_features"])
+            out["dist_logit_scale"] = jax.lax.stop_gradient(t_out["logit_scale"])
+        if cfg.mask_mode == "valid" and "token_text_features" in out:
+            # validity mask matching the encoder's EOT zeroing: positions
+            # strictly before argmax(EOT) are real text tokens
+            eot = jnp.argmax(texts, axis=-1)
+            out["text_mask"] = (
+                jnp.arange(texts.shape[1])[None, :] < eot[:, None]
+            ).astype(jnp.float32)
+        return out
+
+    return forward
+
+
 def _clamp_logit_scale(params):
     def clamp(path, leaf):
         names = [getattr(k, "key", str(k)) for k in path]
@@ -143,24 +171,7 @@ def make_train_step(
     computed under stop_gradient each step (reference DistillClipLoss usage).
     """
     axis_name = DATA_AXIS if mesh is not None else None
-    teacher_model, teacher_params = teacher if teacher is not None else (None, None)
-
-    def forward(params, images, texts):
-        out = model.apply(params, images, texts, train=True)
-        if teacher_model is not None:
-            t_out = teacher_model.apply(teacher_params, images, texts)
-            out = dict(out)
-            out["dist_image_features"] = jax.lax.stop_gradient(t_out["image_features"])
-            out["dist_text_features"] = jax.lax.stop_gradient(t_out["text_features"])
-            out["dist_logit_scale"] = jax.lax.stop_gradient(t_out["logit_scale"])
-        if cfg.mask_mode == "valid" and "token_text_features" in out:
-            # validity mask matching the encoder's EOT zeroing: positions
-            # strictly before argmax(EOT) are real text tokens
-            eot = jnp.argmax(texts, axis=-1)
-            out["text_mask"] = (
-                jnp.arange(texts.shape[1])[None, :] < eot[:, None]
-            ).astype(jnp.float32)
-        return out
+    forward = build_forward(model, cfg, teacher)
 
     def loss_fn(params, images, texts):
         out = forward(params, images, texts)

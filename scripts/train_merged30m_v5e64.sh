@@ -14,6 +14,18 @@ DATA=${DATA:-"/data/cc3m/{0000..0575}.tar::/data/cc12m/{0000..1242}.tar::/data/y
 WEIGHTS=${WEIGHTS:-"1.0::1.0::1.0"}
 LOGS=${LOGS:-./logs}
 
+# Batch 256/chip (16k global on 64 chips) is the measured v5e flagship point:
+# the round-2 sweep (docs/BENCH.md) gives 707 img/s at 256 vs 605 at 512 —
+# larger batches trip XLA back into remat re-execution. Raise to 512 only for
+# the 32k-global ablation, accepting the ~15% step-rate cost.
+#
+# --token-dist ring is REQUIRED at this scale. The default 'gather' mode
+# all-gathers every device's token features (reference loss.py:235-243):
+# at 32k global that is [32768,77,512] + [32768,196,512] bf16 ≈ 2.6 + 6.6 =
+# 9.2 GB landing on EVERY 16-GB chip before the MaxSim tiles — guaranteed
+# OOM. The ppermute ring holds ONE remote block at a time
+# (256*(77+196)*512*2 B ≈ 71 MB) and is loss/grad-exact vs the gather
+# (tests/ring64_probe.py: 64-way parity to 1e-6).
 python -m colxlip_tpu.main \
     --train-data "$DATA" \
     --train-data-upsampling-factors "$WEIGHTS" \
@@ -22,10 +34,11 @@ python -m colxlip_tpu.main \
     --logs "$LOGS" \
     --model ViT-B-16-colxlip \
     --alpha 0.7 \
-    --batch-size 512 \
+    --batch-size 256 \
     --local-loss \
+    --token-dist ring \
     --gather-with-grad \
-    --grad-checkpointing \
+    --normalize-on-device \
     --epochs 10 \
     --lr 5e-4 \
     --warmup 10000 \

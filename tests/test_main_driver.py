@@ -78,6 +78,68 @@ def test_main_coca_synthetic_train(tmp_path):
     assert all(np.isfinite(r["contrastive_loss"]) for r in records)
 
 
+@pytest.mark.slow
+def test_main_model_parallel(tmp_path):
+    """--model-parallel is wired to the GSPMD step (VERDICT r2 #1): a tp=2 x
+    dp=4 run must (a) train the SAME global batch as the dp-only run (the old
+    wiring inflated per-device batch by mp), and (b) produce the same loss
+    trajectory as the dp run with full-gather grad semantics."""
+    def run(name, batch_size, extra):
+        logs = str(tmp_path / name)
+        argv = [
+            "--model", "ViT-S-16-test",
+            "--dataset-type", "synthetic",
+            "--train-num-samples", "64",
+            "--batch-size", str(batch_size),
+            "--epochs", "1",
+            "--lr", "1e-3",
+            "--warmup", "2",
+            "--precision", "fp32",
+            "--logs", logs,
+            "--name", name,
+            "--workers", "0",
+            "--log-every-n-steps", "1",
+            "--save-frequency", "0",
+            "--maxsim-impl", "xla",
+            "--seed", "0",
+            "--report-to", "jsonl",
+        ] + extra
+        assert main(argv) == 0
+        metrics = [json.loads(l) for l in
+                   open(os.path.join(logs, name, "metrics.jsonl"))]
+        return [m["total_loss"] for m in metrics]
+
+    # dp-only: 8 devices x batch 2 = global 16, full-gather grad semantics
+    dp = run("dp", 2, ["--gather-with-grad"])
+    # tp=2 x dp=4: batch 4 x 4 data shards = the SAME global 16
+    mp = run("mp", 4, ["--model-parallel", "2"])
+    assert len(dp) == len(mp) == 4  # 64 samples / 16 global batch
+    np.testing.assert_allclose(dp[0], mp[0], rtol=1e-4)
+    np.testing.assert_allclose(dp, mp, rtol=5e-3)
+    assert np.isfinite(mp).all()
+
+
+def test_main_model_parallel_rejects_unshardable(tmp_path):
+    """Configs the GSPMD step can't express hard-error instead of silently
+    running different semantics."""
+    argv = [
+        "--model", "ViT-S-16-test",
+        "--dataset-type", "synthetic",
+        "--train-num-samples", "16",
+        "--batch-size", "2",
+        "--epochs", "1",
+        "--precision", "fp32",
+        "--logs", str(tmp_path),
+        "--name", "mpbad",
+        "--workers", "0",
+        "--model-parallel", "2",
+        "--local-loss",
+    ]
+    assert main(argv) == 1
+    argv[argv.index("--model-parallel") + 1] = "3"  # does not divide 8
+    assert main(argv[:-1]) == 1
+
+
 def test_get_latest_checkpoint_resolution(tmp_path):
     """Crash-mid-epoch resolution (VERDICT weak #8): a stale epoch_latest
     (older mtime than the newest numbered save) must NOT win resume-latest;
