@@ -16,7 +16,9 @@ Procedure:
      ``python scripts/check_parity.py logs/<run>/checkpoints/results.jsonl \
            datasets/golden/<name>.expected.json``
 
-Expected-results schema (datasets/golden/EXAMPLE.expected.json):
+Expected-results schema (live instance: datasets/golden/
+torch_oracle.expected.json — the offline torch-oracle golden produced and
+verified by tests/test_golden_parity.py):
     {
       "checkpoint": "<id/url of the reference checkpoint>",
       "source": "how the goldens were produced",
@@ -31,10 +33,32 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
+def _warn_if_degraded_tokenizer() -> None:
+    """Text-side parity against a REAL reference checkpoint additionally
+    requires the CLIP BPE merges asset; without it tokenization falls back to
+    zero merges and recall numbers are NOT comparable to the reference's.
+    (The offline torch-oracle golden is self-consistent either way.)"""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        from colxlip_tpu.data.tokenizer import SimpleTokenizer
+
+        if not SimpleTokenizer().has_merges:
+            print("=" * 72, file=sys.stderr)
+            print("WARNING: CLIP BPE merges asset NOT found — tokenizer is in "
+                  "the\nzero-merges fallback. Parity vs a real reference "
+                  "checkpoint is NOT\nmeaningful until you fetch it: "
+                  "python scripts/fetch_assets.py", file=sys.stderr)
+            print("=" * 72, file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — the warning must never mask the check
+        print(f"(tokenizer asset check skipped: {e})", file=sys.stderr)
+
+
 def main() -> int:
+    _warn_if_degraded_tokenizer()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("results_jsonl", help="results.jsonl produced by evaluate()")
     p.add_argument("expected_json", help="expected-results file (schema above)")
