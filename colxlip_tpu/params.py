@@ -43,12 +43,15 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--train-num-samples", type=int, default=None)
     parser.add_argument("--dataset-type", choices=["webdataset", "synthetic", "auto"],
                         default="auto")
-    parser.add_argument("--train-dataset-type", type=str, default="webdataset")
     parser.add_argument("--dataset-resampled", default=False, action="store_true")
     parser.add_argument("--workers", type=int, default=4)
     parser.add_argument("--num-sampled-captions", type=int, default=8)
     parser.add_argument("--max-merged-num", type=int, default=3)
-    parser.add_argument("--caption-sampling-mode", type=str, default="diverse_sampling")
+    # only mode the reference implements (its sample_dict raises
+    # NotImplementedError on every other choice, data.py:146-183); the
+    # restriction is enforced here at parse time instead
+    parser.add_argument("--caption-sampling-mode", type=str,
+                        default="diverse_sampling", choices=["diverse_sampling"])
     parser.add_argument("--pixelprose", default=False, action="store_true")
     parser.add_argument("--native-decode", default=False, action="store_true",
                         help="fused C++ JPEG decode+crop+resize loader core")
@@ -83,12 +86,17 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--sharegpt4v-json-10k", type=str, default=None)
     parser.add_argument("--imagenet-val", type=str, default=None,
                         help="ImageNet val dir for zero-shot eval")
+    parser.add_argument("--imagenet-classnames", type=str, default=None,
+                        help="JSON class-name list override (default: the "
+                             "vendored OpenAI CLIP list)")
     parser.add_argument("--zeroshot-frequency", type=int, default=2)
     parser.add_argument("--val-frequency", type=int, default=1)
 
     # experiment / logging
     parser.add_argument("--logs", type=str, default="./logs/")
-    parser.add_argument("--log-local", action="store_true", default=False)
+    parser.add_argument("--log-local", action="store_true", default=False,
+                        help="non-master hosts also log, to out-<rank>.log "
+                             "(reference open_clip_train.logger semantics)")
     parser.add_argument("--name", type=str, default=None)
     parser.add_argument("--report-to", type=str, default="",
                         help="comma-separated: tensorboard,wandb,jsonl")
@@ -187,7 +195,10 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--dist-impl", type=str, default=None,
                         choices=[None, "bidir", "shift", "reduce", "gather"])
     parser.add_argument("--maxsim-impl", type=str, default="auto",
-                        choices=["auto", "xla", "chunked", "pallas"])
+                        choices=["auto", "xla", "streaming", "chunked", "pallas"],
+                        help="'auto' dispatches 'streaming' (custom-VJP) for "
+                             "training-scale shapes; explicit values force "
+                             "one path")
     parser.add_argument("--ce-impl", type=str, default="dense",
                         choices=["dense", "fused"],
                         help="fused = Pallas streaming logsumexp CE (no NxN logits)")
@@ -207,9 +218,9 @@ def parse_args(args=None) -> argparse.Namespace:
 
     # misc
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--trace", default=False, action="store_true")
     parser.add_argument("--profile-dir", type=str, default=None,
-                        help="jax profiler trace output dir")
+                        help="jax profiler trace output dir (replaces the "
+                             "reference's --trace/--torchscript surface)")
     parser.add_argument("--log-every-n-steps", type=int, default=100)
 
     ns = parser.parse_args(args)

@@ -155,6 +155,7 @@ def score_similarity(
     alpha: float = 0.5,
     maxsim_impl: str = "auto",
     mask_mode: str = "nonzero",
+    text_mask: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """[num_images, num_texts] similarity under the selected scoring mode."""
     if scoring in ("global", "mixed"):
@@ -166,6 +167,7 @@ def score_similarity(
     s_t2i = np.asarray(maxsim(
         jnp.asarray(txt_tokens), jnp.asarray(img_tokens),
         mask_mode=mask_mode, impl=maxsim_impl,
+        text_mask=None if text_mask is None else jnp.asarray(text_mask),
     ))  # [n_txt, n_img]
     token_sim = logit_scale * s_t2i.T
     if scoring == "maxsim":
@@ -183,6 +185,7 @@ def retrieval_on_split(
     alpha: float = 0.5,
     logit_scale: Optional[float] = None,
     maxsim_impl: str = "auto",
+    mask_mode: str = "nonzero",
 ) -> Dict[str, float]:
     """Encode suite, score, compute metrics (reference train.py:510-585)."""
     with_tokens = scoring in ("maxsim", "mixed")
@@ -192,9 +195,17 @@ def retrieval_on_split(
     if logit_scale is None:
         ls = params["params"]["logit_scale"]
         logit_scale = float(np.exp(np.asarray(ls)))
+    text_mask = None
+    if mask_mode == "valid" and with_tokens:
+        # same pre-EOT validity mask the training step derives from the raw
+        # token ids (parallel/train_step.py build_forward)
+        toks = np.asarray(suite.tokens)
+        eot = toks.argmax(axis=-1)
+        text_mask = (np.arange(toks.shape[1])[None, :] < eot[:, None]).astype(np.float32)
     sim = score_similarity(
         img_feats, txt_feats, img_tokens, txt_tokens, logit_scale,
         scoring=scoring, alpha=alpha, maxsim_impl=maxsim_impl,
+        mask_mode=mask_mode, text_mask=text_mask,
     )
     metrics = compute_retrieval_metrics(sim, suite.txt2img, suite.img2txt)
     prefixed = {f"{suite.name}_{k}": v for k, v in metrics.items()}
@@ -214,6 +225,8 @@ def evaluate(
     alpha: float = 0.5,
     results_file: Optional[str] = None,
     zero_shot_fn=None,
+    maxsim_impl: str = "auto",
+    mask_mode: str = "nonzero",
 ) -> Dict[str, float]:
     """Master-only eval over all suites (reference train.py:273-363)."""
     metrics: Dict[str, float] = {"epoch": epoch}
@@ -224,7 +237,8 @@ def evaluate(
                     suite.name, suite.num_texts, suite.num_images)
         metrics.update(retrieval_on_split(
             model, params, suite, batch_size=batch_size,
-            scoring=scoring, alpha=alpha,
+            scoring=scoring, alpha=alpha, maxsim_impl=maxsim_impl,
+            mask_mode=mask_mode,
         ))
     logger.info("eval epoch %d: %s", epoch,
                 "\t".join(f"{k}: {round(v, 4)}" for k, v in metrics.items()))
