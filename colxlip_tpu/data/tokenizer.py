@@ -143,6 +143,7 @@ class SimpleTokenizer:
                 logger.warning(msg)
                 _warned_no_merges = True
 
+        self._merges = merges  # kept for the native core's table
         vocab = list(self.byte_encoder.values())
         vocab = vocab + [v + "</w>" for v in vocab]
         for merge in merges:
@@ -162,6 +163,8 @@ class SimpleTokenizer:
         self.sot_token = SOT_TOKEN
         self.eot_token = EOT_TOKEN
         self.all_special_ids = [SOT_TOKEN, EOT_TOKEN]
+        self._native_handle = None
+        self._native_tried = False
 
     def bpe(self, token: str) -> str:
         if token in self.cache:
@@ -220,6 +223,29 @@ class SimpleTokenizer:
         )
         return text
 
+    # The native core handles only clean printable ASCII: '<' could form a
+    # special-token literal, '&' an HTML entity (basic_clean unescapes), and
+    # \x1c-\x1f are Python-regex whitespace the C scanner doesn't model.
+    _NATIVE_ELIGIBLE = __import__("re").compile(r"^[\t\n\r\x20-\x7e]*$")
+
+    def _get_native(self):
+        """Lazy handle to the C++ BPE core (same merge table); None if the
+        native build is unavailable or disabled via COLXLIP_NATIVE_TOKENIZER=0."""
+        if self._native_tried:
+            return self._native_handle
+        self._native_tried = True
+        if os.environ.get("COLXLIP_NATIVE_TOKENIZER", "1") == "0":
+            return None
+        try:
+            from .. import native
+
+            blob = "\n".join(" ".join(m) for m in self._merges).encode("utf-8")
+            self._native_handle = native.bpe_init(blob)
+        except Exception as e:  # noqa: BLE001 — fall back to the Python path
+            logger.warning("native tokenizer unavailable: %s", e)
+            self._native_handle = None
+        return self._native_handle
+
     def __call__(
         self,
         texts: Union[str, Sequence[str]],
@@ -228,18 +254,36 @@ class SimpleTokenizer:
         """Tokenize into a zero-padded [n, context_length] int32 array.
 
         Over-long inputs are truncated with EOT forced into the last slot,
-        matching open_clip's tokenize() behavior.
+        matching open_clip's tokenize() behavior. Printable-ASCII strings
+        take the C++ BPE core (byte-identical, tests/test_native_tokenizer.py);
+        anything else goes through the reference Python path.
         """
         if isinstance(texts, str):
             texts = [texts]
         context_length = context_length or self.context_length
         result = np.zeros((len(texts), context_length), dtype=np.int32)
+
+        native_handle = self._get_native()
+        native_idx: list = []
         for i, text in enumerate(texts):
+            if native_handle is not None and self._NATIVE_ELIGIBLE.match(text) \
+                    and "<" not in text and "&" not in text:
+                native_idx.append(i)
+                continue
             tokens = [self.sot_token] + self.encode(text) + [self.eot_token]
             if len(tokens) > context_length:
                 tokens = tokens[:context_length]
                 tokens[-1] = self.eot_token
             result[i, : len(tokens)] = tokens
+        if native_idx:
+            from .. import native
+
+            encoded = native.bpe_encode_batch(
+                native_handle,
+                [texts[i].encode("ascii") for i in native_idx],
+                context_length,
+            )
+            result[np.asarray(native_idx)] = encoded
         return result
 
 

@@ -154,3 +154,93 @@ def process_batch(
         crops_ptr, mean_arr, std_arr, num_threads,
     )
     return out, int(failures)
+
+
+# ---------------------------------------------------------------------------
+# native BPE tokenizer (bpe_tokenizer.cc) — separate .so, no libjpeg needed
+# ---------------------------------------------------------------------------
+
+_TOK_SRC = os.path.join(os.path.dirname(__file__), "bpe_tokenizer.cc")
+_TOK_LIB = None
+_TOK_TRIED = False
+
+
+def _build_tok_lib() -> Optional[ctypes.CDLL]:
+    with open(_TOK_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.environ.get(
+        "COLXLIP_NATIVE_CACHE", os.path.join(tempfile.gettempdir(), "colxlip_native")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, f"bpe_tokenizer_{digest}.so")
+    if not os.path.exists(so_path):
+        tmp = so_path + f".tmp{os.getpid()}"
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _TOK_SRC, "-o", tmp]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        except (OSError, subprocess.SubprocessError) as e:
+            stderr = getattr(e, "stderr", b"") or b""
+            logger.warning("native tokenizer build failed: %s %s", e, stderr.decode()[:400])
+            return None
+        os.replace(tmp, so_path)
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError as e:
+        logger.warning("native tokenizer load failed: %s", e)
+        return None
+    lib.cx_bpe_init.restype = ctypes.c_int
+    lib.cx_bpe_init.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    lib.cx_bpe_encode_batch.restype = ctypes.c_int
+    lib.cx_bpe_encode_batch.argtypes = [
+        ctypes.c_int, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.cx_bpe_free.restype = None
+    lib.cx_bpe_free.argtypes = [ctypes.c_int]
+    return lib
+
+
+def _get_tok_lib() -> Optional[ctypes.CDLL]:
+    global _TOK_LIB, _TOK_TRIED
+    if _TOK_LIB is not None or _TOK_TRIED:
+        return _TOK_LIB
+    with _LOCK:
+        if _TOK_LIB is None and not _TOK_TRIED:
+            _TOK_LIB = _build_tok_lib()
+            _TOK_TRIED = True
+    return _TOK_LIB
+
+
+def tokenizer_available() -> bool:
+    return _get_tok_lib() is not None
+
+
+def bpe_init(merges_blob: bytes) -> Optional[int]:
+    """Build a native tokenizer over the given merge table ('first second'
+    lines, UTF-8; empty = the zero-merges fallback layout). Returns a handle
+    for bpe_encode_batch, or None when the native core is unavailable."""
+    lib = _get_tok_lib()
+    if lib is None:
+        return None
+    handle = lib.cx_bpe_init(merges_blob, len(merges_blob))
+    return None if handle < 0 else int(handle)
+
+
+def bpe_encode_batch(handle: int, texts: Sequence[bytes], context_length: int) -> np.ndarray:
+    """Tokenize ASCII-eligible byte strings -> [n, ctx] int32 (SOT...EOT,
+    zero-padded, EOT-forced truncation — SimpleTokenizer.__call__ layout)."""
+    lib = _get_tok_lib()
+    if lib is None:
+        raise RuntimeError("native tokenizer unavailable")
+    n = len(texts)
+    out = np.zeros((n, context_length), np.int32)
+    if n == 0:
+        return out
+    arr_ptr = (ctypes.c_char_p * n)(*texts)
+    rc = lib.cx_bpe_encode_batch(
+        handle, arr_ptr, n, context_length,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native tokenizer encode failed (rc={rc})")
+    return out
