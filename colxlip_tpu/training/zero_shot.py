@@ -217,9 +217,29 @@ def zero_shot_eval(
         feats = out[0] if isinstance(out, tuple) else out
         return feats @ classifier
 
+    # batch-shard the val encode over the local chips (same scheme as the
+    # retrieval Encoder — the towers are per-sample, zero collectives)
+    devices = jax.local_devices()
+    ship = jnp.asarray
+    if len(devices) > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(devices), ("data",))
+        batch_size = -(-batch_size // len(devices)) * len(devices)
+        batch_sharding = NamedSharding(mesh, P("data"))
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+
+        def ship(arr):  # noqa: E306 — pads to a devices multiple; caller
+            # slices the logits back to the true row count
+            if arr.shape[0] % len(devices):
+                pad = -arr.shape[0] % len(devices)
+                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+            return jax.device_put(arr, batch_sharding)
+
     top1 = top5 = n = 0
     for images, labels in iter_imagenet_val(val_dir, transform, batch_size):
-        logits = np.asarray(image_logits(params, jnp.asarray(images)))
+        logits = np.asarray(
+            image_logits(params, ship(np.asarray(images))))[: len(labels)]
         top = np.argsort(-logits, axis=1)[:, :5]
         top1 += int((top[:, 0] == labels).sum())
         top5 += int((top == labels[:, None]).any(axis=1).sum())
