@@ -25,7 +25,7 @@ def main():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--remat", nargs="?", const="full", default="",
-                   choices=["", "full", "mlp", "mlp_scope"],
+                   choices=["", "full", "mlp", "mlp_scope", "act"],
                    help="activation checkpointing: full block, 'mlp' "
                         "(policy: drop only the [B,N,4D] hidden tensors), or "
                         "'mlp_scope' (checkpoint just the MLP submodule)")
@@ -56,7 +56,7 @@ def main():
     import dataclasses
     base_cfg = CLIPCfg.from_dict(get_model_config(args.model))
     remat = {"": False, "full": True, "mlp": "mlp",
-             "mlp_scope": "mlp_scope"}[args.remat]
+             "mlp_scope": "mlp_scope", "act": "act"}[args.remat]
 
     def build(gelu):
         cfg = dataclasses.replace(base_cfg, gelu_approximate=gelu == "tanh")

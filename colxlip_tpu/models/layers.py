@@ -112,12 +112,24 @@ class PatchDropout(nn.Module):
 
 
 class MLP(nn.Module):
-    """Transformer MLP: c_fc -> act -> c_proj (reference transformer.py:233-238)."""
+    """Transformer MLP: c_fc -> act -> c_proj (reference transformer.py:233-238).
+
+    ``checkpoint_act``: wrap the act->c_proj region in ``jax.checkpoint`` so
+    the backward pass holds ONE [B, N, 4D] residual (the pre-activation,
+    needed for the activation derivative anyway) instead of two — the
+    post-activation that c_proj's weight grad wants is recomputed with a
+    single elementwise pass. The exact-erf GELU graph otherwise keeps both
+    4x-wide tensors per layer (~620 MB/layer at ViT-B batch 256) and pushes
+    XLA's memory planner into auto-remat re-execution of whole MLP fusions
+    (round-2/3 profiles: ~48 ms/step). Unlike remat='mlp_scope' this never
+    recomputes the c_fc matmul, so the overhead is pure VPU bandwidth.
+    """
     dim: int
     mlp_ratio: float = 4.0
     act: Callable = gelu
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    checkpoint_act: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -128,10 +140,16 @@ class MLP(nn.Module):
         # named so remat='mlp' can refuse to save the 4x-wide tensors (the
         # dominant activation memory: 2x [B, N, 4D] per layer)
         x = checkpoint_name(x, "mlp_hidden_pre")
+        c_proj = nn.Dense(self.dim, name="c_proj", dtype=self.dtype,
+                          param_dtype=self.param_dtype)
+        if self.checkpoint_act:
+            def act_proj(mdl, h):
+                return mdl(self.act(h))
+
+            return nn.remat(act_proj)(c_proj, x)
         x = self.act(x)
         x = checkpoint_name(x, "mlp_hidden_act")
-        x = nn.Dense(self.dim, name="c_proj", dtype=self.dtype, param_dtype=self.param_dtype)(x)
-        return x
+        return c_proj(x)
 
 
 class MultiHeadAttention(nn.Module):
@@ -210,6 +228,7 @@ class ResidualAttentionBlock(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     mlp_remat: bool = False
+    mlp_checkpoint_act: bool = False
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None, is_causal: bool = False):
@@ -227,6 +246,7 @@ class ResidualAttentionBlock(nn.Module):
         mlp_out = mlp_cls(
             self.dim, self.mlp_ratio, act=self.act, dtype=self.dtype,
             param_dtype=self.param_dtype, name="mlp",
+            checkpoint_act=self.mlp_checkpoint_act,
         )(LayerNorm(name="ln_2")(x))
         if self.ls_init_value is not None:
             mlp_out = LayerScale(self.ls_init_value, name="ls_2")(mlp_out)
@@ -263,7 +283,13 @@ class Transformer(nn.Module):
         (transformer.py:475-498 / utils.py feature_take_indices)."""
         block_cls = ResidualAttentionBlock
         mlp_remat = False
-        if self.remat == "mlp_scope":
+        mlp_checkpoint_act = False
+        if self.remat == "act":
+            # checkpoint ONLY the act->c_proj region of each MLP: one
+            # [B,N,4D] residual per layer instead of two, recompute cost one
+            # elementwise pass (see MLP.checkpoint_act)
+            mlp_checkpoint_act = True
+        elif self.remat == "mlp_scope":
             # checkpoint only the MLP submodule of each block (see
             # ResidualAttentionBlock.mlp_remat)
             mlp_remat = True
@@ -284,7 +310,7 @@ class Transformer(nn.Module):
                 self.width, self.heads, self.mlp_ratio,
                 ls_init_value=self.ls_init_value, act=self.act,
                 dtype=self.dtype, param_dtype=self.param_dtype,
-                mlp_remat=mlp_remat,
+                mlp_remat=mlp_remat, mlp_checkpoint_act=mlp_checkpoint_act,
                 name=f"resblocks_{i}",
             )
             x = block(x, mask, is_causal)

@@ -23,6 +23,7 @@ def main():
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--loss", default="colclip")
     p.add_argument("--gelu", default="erf", choices=["erf", "tanh"])
+    p.add_argument("--remat", default="", choices=["", "full", "mlp", "mlp_scope", "act"])
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--out", default="/tmp/prof")
     p.add_argument("--top", type=int, default=40)
@@ -44,7 +45,9 @@ def main():
 
     cfg = CLIPCfg.from_dict(get_model_config(args.model))
     cfg = dataclasses.replace(cfg, gelu_approximate=args.gelu == "tanh")
-    model = ColXLIP(cfg, dtype=jnp.bfloat16)
+    remat = {"": False, "full": True, "mlp": "mlp",
+             "mlp_scope": "mlp_scope", "act": "act"}[args.remat]
+    model = ColXLIP(cfg, dtype=jnp.bfloat16, remat=remat)
     tx = create_optimizer(cosine_lr(1e-3, 100, 10000), weight_decay=0.2)
 
     b = args.batch_size
