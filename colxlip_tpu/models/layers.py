@@ -111,6 +111,22 @@ class PatchDropout(nn.Module):
         return jnp.concatenate([cls_tok, kept], axis=1)
 
 
+class _DenseParams(nn.Module):
+    """Declare Dense-layout params (kernel/bias, same names+inits as
+    nn.Dense) without running the matmul — the fused-MLP kernel consumes the
+    raw arrays while keeping the checkpoint tree identical."""
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), self.param_dtype)
+        return kernel, bias
+
+
 class MLP(nn.Module):
     """Transformer MLP: c_fc -> act -> c_proj (reference transformer.py:233-238).
 
@@ -130,12 +146,31 @@ class MLP(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     checkpoint_act: bool = False
+    mlp_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
         from jax.ad_checkpoint import checkpoint_name
 
         hidden = int(self.dim * self.mlp_ratio)
+
+        # fused Pallas path (TPU): whole MLP in one kernel, zero [B,N,4D]
+        # HBM residuals, recompute backward (ops/fused_mlp.py). Param paths
+        # (mlp/c_fc, mlp/c_proj) are identical to the Dense branch, so
+        # checkpoints are interchangeable across impls.
+        approximate = {gelu: False, gelu_tanh: True}.get(self.act)
+        from ..ops.fused_mlp import resolve_mlp_impl
+
+        if (approximate is not None and not self.checkpoint_act
+                and x.ndim == 3 and resolve_mlp_impl(self.mlp_impl) == "fused"):
+            from ..ops.fused_mlp import fused_mlp
+
+            w1, b1 = _DenseParams(hidden, self.param_dtype, name="c_fc")(x.shape[-1])
+            w2, b2 = _DenseParams(self.dim, self.param_dtype, name="c_proj")(hidden)
+            dt = self.dtype
+            return fused_mlp(x.astype(dt), w1.astype(dt), b1.astype(dt),
+                             w2.astype(dt), b2.astype(dt), approximate)
+
         x = nn.Dense(hidden, name="c_fc", dtype=self.dtype, param_dtype=self.param_dtype)(x)
         # named so remat='mlp' can refuse to save the 4x-wide tensors (the
         # dominant activation memory: 2x [B, N, 4D] per layer)

@@ -1,0 +1,243 @@
+"""Fused transformer MLP (Pallas/Mosaic, TPU): c_fc -> GELU -> c_proj in one
+kernel, with a recompute backward. ZERO [B, N, 4D] tensors in HBM.
+
+Why: the exact-erf GELU graph keeps two 4x-wide hidden tensors per layer
+(~620 MB/layer at ViT-B batch 256) as AD residuals. Round-3 profiling showed
+the full-residual graph does not fit the 16 GB chip at all (disabling XLA
+rematerialization OOMs), XLA's auto-remat answer costs ~48 ms/step of
+re-executed c_fc matmul fusions (colclip-erf 706.6 img/s vs its tanh twin's
+808), and the targeted act->c_proj checkpoint loses more than it saves
+(651 img/s: every consumer fusion re-reads the pre-activation). This kernel
+removes the residual class entirely:
+
+  - forward: per batch row-block, h = x @ W1 + b1 and a = gelu(h) live only
+    in VMEM between the two matmuls; HBM sees x in and out out.
+  - backward: recomputes h and a from x (one extra c_fc matmul — the same
+    trade XLA's auto-remat already made for 8/12 layers, now paid uniformly
+    and without the planner chaos), then computes all five gradients in
+    VMEM. dW1/dW2/db accumulate in fp32 across the sequential TPU grid.
+  - the GELU derivative inside the backward kernel is taken with jax.vjp of
+    jax.nn.gelu itself, so erf/tanh numerics match the stock graph exactly.
+
+Same deliberate design choices as ops/fused_attention.py: packed layout in
+== layout out (no transposes), full-width blocks, custom VJP with the layer
+INPUT as the only residual (it already exists as the ln_2 output).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gelu(x, approximate: bool):
+    return jax.nn.gelu(x, approximate=approximate)
+
+
+def resolve_mlp_impl(impl: str = "auto") -> str:
+    """'auto' -> the fused Pallas kernel on TPU, XLA elsewhere (round-3
+    measurement: see docs/BENCH.md fused-MLP entry). Env COLXLIP_MLP_IMPL
+    overrides; explicit 'fused'/'xla' force a path."""
+    if impl != "auto":
+        return impl
+    import os
+
+    forced = os.environ.get("COLXLIP_MLP_IMPL")
+    if forced:
+        return forced
+    return "xla"  # flipped to 'fused' only if the chip measurement wins
+
+
+def _pick_block_b(b: int) -> int:
+    # weights dominate VMEM; the row block only needs to amortize control
+    # overhead. 4 rows x N<=257 x 4D<=4096 temps stay ~8-25 MB in fp32.
+    for bb in (4, 2, 1):
+        if b % bb == 0:
+            return bb
+    return 1
+
+
+def _compiler_params(bb: int, n: int, d: int, h: int, itemsize: int,
+                     backward: bool):
+    # resident: W1+W2 (+ fp32 dW1+dW2 when backward) + per-b temps
+    weights = 2 * d * h * itemsize + (2 * 4 * d * h if backward else 0)
+    temps = bb * n * (4 * h * (4 if backward else 1) + 6 * d * itemsize)
+    need = weights + temps
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(120 * 1024 * 1024, max(32 * 1024 * 1024, need * 2)))
+
+
+def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
+                approximate: bool):
+    bb = x_ref.shape[0]
+    for b in range(bb):
+        x = x_ref[b]
+        h = jax.lax.dot_general(
+            x, w1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x_ref.dtype) + b1_ref[...].astype(x_ref.dtype)
+        a = _gelu(h, approximate)
+        out_ref[b] = (jax.lax.dot_general(
+            a, w2_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype) + b2_ref[...].astype(out_ref.dtype))
+
+
+def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, dout_ref,
+                dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *,
+                approximate: bool):
+    bb = x_ref.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    for b in range(bb):
+        x = x_ref[b]
+        do = dout_ref[b]
+        # recompute the hidden pre-activation exactly as the forward did
+        h = jax.lax.dot_general(
+            x, w1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x_ref.dtype) + b1_ref[...].astype(x_ref.dtype)
+        a, gelu_vjp = jax.vjp(functools.partial(_gelu, approximate=approximate), h)
+        # dW2 += a^T @ dout ; db2 += colsum(dout)
+        dw2_ref[...] += jax.lax.dot_general(
+            a, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db2_ref[...] += jnp.sum(do.astype(jnp.float32), axis=0)
+        # da = dout @ W2^T ; dh = gelu'(h) * da (jax's own derivative)
+        da = jax.lax.dot_general(
+            do, w2_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x_ref.dtype)
+        dh = gelu_vjp(da)[0]
+        # dW1 += x^T @ dh ; db1 += colsum(dh) ; dx = dh @ W1^T
+        dw1_ref[...] += jax.lax.dot_general(
+            x, dh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db1_ref[...] += jnp.sum(dh.astype(jnp.float32), axis=0)
+        dx_ref[b] = jax.lax.dot_general(
+            dh, w1_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dx_ref.dtype)
+
+
+def _fwd_call(x, w1, b1, w2, b2, approximate, block_b, interpret):
+    from .fused_attention import _require_tpu
+
+    _require_tpu(interpret)
+    b, n, d = x.shape
+    h = w1.shape[1]
+    bb = block_b or _pick_block_b(b)
+    kernel = functools.partial(_fwd_kernel, approximate=approximate)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((d, h), lambda i: (0, 0)),
+            pl.BlockSpec((h,), lambda i: (0,)),
+            pl.BlockSpec((h, d), lambda i: (0, 0)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * d * h,
+            bytes_accessed=(2 * b * n * d + 2 * d * h) * x.dtype.itemsize,
+            transcendentals=b * n * h,
+        ),
+        compiler_params=_compiler_params(bb, n, d, h, x.dtype.itemsize, False),
+        interpret=interpret,
+    )(x, w1, b1, w2, b2)
+
+
+def _bwd_call(x, w1, b1, w2, dout, approximate, block_b, interpret):
+    from .fused_attention import _require_tpu
+
+    _require_tpu(interpret)
+    b, n, d = x.shape
+    h = w1.shape[1]
+    bb = block_b or _pick_block_b(b)
+    kernel = functools.partial(_bwd_kernel, approximate=approximate)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((d, h), lambda i: (0, 0)),
+            pl.BlockSpec((h,), lambda i: (0,)),
+            pl.BlockSpec((h, d), lambda i: (0, 0)),
+            pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((d, h), lambda i: (0, 0)),
+            pl.BlockSpec((h,), lambda i: (0,)),
+            pl.BlockSpec((h, d), lambda i: (0, 0)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, d), x.dtype),      # dx
+            jax.ShapeDtypeStruct((d, h), jnp.float32),     # dW1
+            jax.ShapeDtypeStruct((h,), jnp.float32),       # db1
+            jax.ShapeDtypeStruct((h, d), jnp.float32),     # dW2
+            jax.ShapeDtypeStruct((d,), jnp.float32),       # db2
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=12 * b * n * d * h,
+            bytes_accessed=(3 * b * n * d + 6 * d * h) * x.dtype.itemsize,
+            transcendentals=2 * b * n * h,
+        ),
+        compiler_params=_compiler_params(bb, n, d, h, x.dtype.itemsize, True),
+        interpret=interpret,
+    )(x, w1, b1, w2, dout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_mlp(x, w1, b1, w2, b2, approximate: bool = False,
+              block_b: int = 0, interpret: bool = False):
+    """gelu-MLP over [B, N, D]: (gelu(x @ w1 + b1) @ w2 + b2).
+
+    w1: [D, H], b1: [H], w2: [H, D], b2: [D] (bf16 compute copies; the
+    custom VJP emits fp32 weight grads). The only backward residual is x.
+    """
+    return _fwd_call(x, w1, b1, w2, b2, approximate, block_b, interpret)
+
+
+def _vjp_fwd(x, w1, b1, w2, b2, approximate, block_b, interpret):
+    out = _fwd_call(x, w1, b1, w2, b2, approximate, block_b, interpret)
+    return out, (x, w1, b1, w2)
+
+
+def _vjp_bwd(approximate, block_b, interpret, res, dout):
+    x, w1, b1, w2 = res
+    dx, dw1, db1, dw2, db2 = _bwd_call(
+        x, w1, b1, w2, dout, approximate, block_b, interpret)
+    return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b1.dtype))
+
+
+fused_mlp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_mlp_reference(x, w1, b1, w2, b2, approximate: bool = False):
+    """XLA path with identical semantics (oracle for tests; also the
+    non-TPU fallback the flax MLP uses when the kernel is unavailable)."""
+    dt = x.dtype
+    h = jax.lax.dot_general(
+        x, w1, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(dt) + b1.astype(dt)
+    a = _gelu(h, approximate)
+    return jax.lax.dot_general(
+        a, w2, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(dt) + b2.astype(dt)
