@@ -37,6 +37,50 @@ def _gelu(x, approximate: bool):
     return jax.nn.gelu(x, approximate=approximate)
 
 
+# --- in-kernel GELU -------------------------------------------------------
+# Mosaic cannot lower erf/erfc (jax.nn.gelu's exact path), so the kernel
+# computes the erf via the Abramowitz & Stegun 7.1.26 polynomial in fp32:
+# max abs error 1.5e-7 — three orders of magnitude below bf16 resolution at
+# activation scale (measured on chip: 6e-7 max deviation from jax.nn.gelu
+# over [-6, 6]). The tanh variant is closed-form.
+
+_SQRT1_2 = 0.7071067811865476
+_SQRT_2_OVER_PI = 0.7978845608028654
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _erf_poly(x):
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+           + t * (-1.453152027 + t * 1.061405429))))
+    return jnp.sign(x) * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _kernel_gelu(x, approximate: bool):
+    """fp32 GELU value for a (possibly bf16) input tile."""
+    x32 = x.astype(jnp.float32)
+    if approximate:
+        u = _SQRT_2_OVER_PI * (x32 + 0.044715 * x32 * x32 * x32)
+        return 0.5 * x32 * (1.0 + jnp.tanh(u))
+    return 0.5 * x32 * (1.0 + _erf_poly(x32 * _SQRT1_2))
+
+
+def _kernel_gelu_and_grad(x, approximate: bool):
+    """(value, d/dx) in fp32 — the exact derivatives of the formulas above."""
+    x32 = x.astype(jnp.float32)
+    if approximate:
+        u = _SQRT_2_OVER_PI * (x32 + 0.044715 * x32 * x32 * x32)
+        t = jnp.tanh(u)
+        du = _SQRT_2_OVER_PI * (1.0 + 3.0 * 0.044715 * x32 * x32)
+        val = 0.5 * x32 * (1.0 + t)
+        grad = 0.5 * (1.0 + t) + 0.5 * x32 * (1.0 - t * t) * du
+        return val, grad
+    cdf = 0.5 * (1.0 + _erf_poly(x32 * _SQRT1_2))
+    pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * x32 * x32)
+    return x32 * cdf, cdf + x32 * pdf
+
+
 def resolve_mlp_impl(impl: str = "auto") -> str:
     """'auto' -> the fused Pallas kernel on TPU, XLA elsewhere (round-3
     measurement: see docs/BENCH.md fused-MLP entry). Env COLXLIP_MLP_IMPL
@@ -79,7 +123,7 @@ def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
             x, w1_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(x_ref.dtype) + b1_ref[...].astype(x_ref.dtype)
-        a = _gelu(h, approximate)
+        a = _kernel_gelu(h, approximate).astype(x_ref.dtype)
         out_ref[b] = (jax.lax.dot_general(
             a, w2_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -106,19 +150,20 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, dout_ref,
             x, w1_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(x_ref.dtype) + b1_ref[...].astype(x_ref.dtype)
-        a, gelu_vjp = jax.vjp(functools.partial(_gelu, approximate=approximate), h)
+        a32, g32 = _kernel_gelu_and_grad(h, approximate)
+        a = a32.astype(x_ref.dtype)
         # dW2 += a^T @ dout ; db2 += colsum(dout)
         dw2_ref[...] += jax.lax.dot_general(
             a, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         db2_ref[...] += jnp.sum(do.astype(jnp.float32), axis=0)
-        # da = dout @ W2^T ; dh = gelu'(h) * da (jax's own derivative)
+        # da = dout @ W2^T ; dh = gelu'(h) * da
         da = jax.lax.dot_general(
             do, w2_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(x_ref.dtype)
-        dh = gelu_vjp(da)[0]
+        )
+        dh = (g32 * da).astype(x_ref.dtype)
         # dW1 += x^T @ dh ; db1 += colsum(dh) ; dx = dh @ W1^T
         dw1_ref[...] += jax.lax.dot_general(
             x, dh, (((0,), (0,)), ((), ())),
