@@ -54,20 +54,70 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+def _make_fast_gelu(approximate: bool):
+    """GELU with a save-one-residual custom VJP (both erf and tanh numerics).
+
+    Round-3 HLO analysis (scripts/hlo_diff.py) of the stock
+    jax.nn.gelu(approximate=False) train graph: JAX lowers exact GELU via
+    erfc, XLA expands bf16 erfc to a ~60-op two-branch fp32 rational fused
+    TOGETHER with the c_fc matmul into a double-output fusion — the erf
+    graph materializes 52 [B,N,4D] HBM tensors (vs tanh's 25) and
+    re-executes 8 of those matmul+erfc fusions in backward. This variant
+    computes erf by the A&S 7.1.26 polynomial (1.5e-7 max abs error, three
+    orders below bf16 resolution; same formula as the Pallas fused-MLP
+    kernel) and its VJP saves ONLY the bf16 pre-activation, recomputing
+    cdf/pdf in backward — the residual structure XLA cannot be coaxed into
+    choosing on its own for the erfc graph. Measured (docs/BENCH.md): erf
+    flagship 699 -> 742.6 img/s.
+    """
+
+    @jax.custom_vjp
+    def _fast_gelu(x):
+        from ..ops.fused_mlp import _kernel_gelu
+
+        return _kernel_gelu(x, approximate).astype(x.dtype)
+
+    def _fwd(x):
+        return _fast_gelu(x), x
+
+    def _bwd(x, g):
+        from ..ops.fused_mlp import _kernel_gelu_and_grad
+
+        _, grad = _kernel_gelu_and_grad(x, approximate)
+        return ((g.astype(jnp.float32) * grad).astype(x.dtype),)
+
+    _fast_gelu.defvjp(_fwd, _bwd)
+    return _fast_gelu
+
+
+_gelu_exact_fast = _make_fast_gelu(approximate=False)
+_gelu_tanh_fast = _make_fast_gelu(approximate=True)
+
+
 def gelu(x):
     # torch nn.GELU default is the erf ("exact") formulation; match it.
-    # Round-2 note: a cheap A&S-7.1.26 erf (2.1e-7 exact, ~tanh cost) was
-    # tried three ways (naive AD, custom_jvp, custom_vjp) — every variant
-    # adds one [B, N, 4D] residual per layer and tips HBM over by ~176 MB at
-    # ViT-B batch 256; XLA's memory plan around the stock erf graph is
-    # already at the cliff edge. tanh-GELU (below) remains the fast option.
-    return jax.nn.gelu(x, approximate=False)
+    # Round-2 history: the cheap A&S erf was tried three ways (naive AD,
+    # custom_jvp, custom_vjp) and OOM'd HBM by ~176 MB at ViT-B batch 256 —
+    # BEFORE the fused attention kernel freed the [B,H,N,N] residual class.
+    # The custom_vjp form retried in round 3 with the freed HBM wins (699 ->
+    # 742.6 img/s); env COLXLIP_GELU_IMPL selects the path ('stock' =
+    # jax.nn.gelu erfc graph, for A/B and HLO-diff work).
+    import os
+
+    if os.environ.get("COLXLIP_GELU_IMPL", "fast") == "stock":
+        return jax.nn.gelu(x, approximate=False)
+    return _gelu_exact_fast(x)
 
 
 def gelu_tanh(x):
     # tanh approximation: measurably faster on TPU VPUs (~10% tower speedup
-    # at ViT-B scale); opt-in via CLIPCfg.gelu_approximate
-    return jax.nn.gelu(x, approximate=True)
+    # at ViT-B scale); opt-in via CLIPCfg.gelu_approximate. Same env-gated
+    # save-one-residual custom VJP as gelu() above.
+    import os
+
+    if os.environ.get("COLXLIP_GELU_IMPL", "fast") == "stock":
+        return jax.nn.gelu(x, approximate=True)
+    return _gelu_tanh_fast(x)
 
 
 class LayerScale(nn.Module):

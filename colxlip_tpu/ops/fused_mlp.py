@@ -82,9 +82,10 @@ def _kernel_gelu_and_grad(x, approximate: bool):
 
 
 def resolve_mlp_impl(impl: str = "auto") -> str:
-    """'auto' -> the fused Pallas kernel on TPU, XLA elsewhere (round-3
-    measurement: see docs/BENCH.md fused-MLP entry). Env COLXLIP_MLP_IMPL
-    overrides; explicit 'fused'/'xla' force a path."""
+    """'auto' -> XLA: the fused kernel measured 685 vs 699 img/s at the
+    ViT-B flagship (its uniform per-layer recompute loses to XLA's
+    selective auto-remat; docs/BENCH.md fused-MLP entry). Env
+    COLXLIP_MLP_IMPL overrides; explicit 'fused'/'xla' force a path."""
     if impl != "auto":
         return impl
     import os
