@@ -166,3 +166,35 @@ def test_gelu_approx_close_to_exact(tiny_cfg):
     o2 = m_fast.apply(params, img, txt)
     cos = np.sum(np.asarray(o1["image_features"]) * np.asarray(o2["image_features"]), -1)
     assert np.all(cos > 0.9999), cos
+
+
+def test_fast_gelu_matches_stock_value_and_grad():
+    """The save-one-residual custom-VJP GELUs (round-3 flagship win: erf
+    699 -> 742.6 img/s) must match jax.nn.gelu value AND grad to well below
+    bf16 resolution, for both erf and tanh numerics."""
+    from colxlip_tpu.models.layers import _gelu_exact_fast, _gelu_tanh_fast
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(4096).astype(np.float32)) * 3
+    for fast, approx in ((_gelu_exact_fast, False), (_gelu_tanh_fast, True)):
+        ref = lambda v: jax.nn.gelu(v, approximate=approx)  # noqa: E731
+        assert float(jnp.max(jnp.abs(fast(x) - ref(x)))) < 3e-6
+        g_fast = jax.grad(lambda v: jnp.sum(fast(v)))(x)
+        g_ref = jax.grad(lambda v: jnp.sum(ref(v)))(x)
+        assert float(jnp.max(jnp.abs(g_fast - g_ref))) < 1e-5
+    # bf16 path: the VJP must return the input dtype
+    xb = x.astype(jnp.bfloat16)
+    gb = jax.grad(lambda v: jnp.sum(_gelu_exact_fast(v).astype(jnp.float32)))(xb)
+    assert gb.dtype == jnp.bfloat16
+
+
+def test_gelu_impl_env_selects_stock(monkeypatch):
+    """COLXLIP_GELU_IMPL=stock routes to jax.nn.gelu (A/B + HLO-diff knob)."""
+    from colxlip_tpu.models import layers
+
+    x = jnp.linspace(-3, 3, 64)
+    monkeypatch.setenv("COLXLIP_GELU_IMPL", "stock")
+    stock = layers.gelu(x)
+    monkeypatch.delenv("COLXLIP_GELU_IMPL")
+    fast = layers.gelu(x)
+    np.testing.assert_allclose(np.asarray(stock), np.asarray(fast), atol=3e-6)
