@@ -90,8 +90,39 @@ def _make_fast_gelu(approximate: bool):
     return _fast_gelu
 
 
+def _make_tanherf_gelu():
+    """Exact-erf GELU whose graph is op-isomorphic to the tanh-GELU graph.
+
+    Same save-one-residual custom VJP as ``_make_fast_gelu``, but erf is
+    computed as tanh of an odd degree-13 polynomial (ops/fused_mlp.py
+    _TANH_ERF_C; max value error 1.24e-7, grad 4.4e-7 — sub-bf16-noise).
+    Motivation: the A&S-poly erf graph's abs/select/exp body still plans
+    differently under XLA (8 re-executed c_fc matmuls, docs/BENCH.md); this
+    body is Horner + one tanh, identical in op mix to the tanh twin.
+    """
+
+    @jax.custom_vjp
+    def _tanherf_gelu(x):
+        from ..ops.fused_mlp import _kernel_gelu_tanherf
+
+        return _kernel_gelu_tanherf(x).astype(x.dtype)
+
+    def _fwd(x):
+        return _tanherf_gelu(x), x
+
+    def _bwd(x, g):
+        from ..ops.fused_mlp import _kernel_gelu_and_grad_tanherf
+
+        _, grad = _kernel_gelu_and_grad_tanherf(x)
+        return ((g.astype(jnp.float32) * grad).astype(x.dtype),)
+
+    _tanherf_gelu.defvjp(_fwd, _bwd)
+    return _tanherf_gelu
+
+
 _gelu_exact_fast = _make_fast_gelu(approximate=False)
 _gelu_tanh_fast = _make_fast_gelu(approximate=True)
+_gelu_exact_tanhstruct = _make_tanherf_gelu()
 
 
 def gelu(x):
@@ -104,9 +135,14 @@ def gelu(x):
     # jax.nn.gelu erfc graph, for A/B and HLO-diff work).
     import os
 
-    if os.environ.get("COLXLIP_GELU_IMPL", "fast") == "stock":
+    impl = os.environ.get("COLXLIP_GELU_IMPL", "fast")
+    if impl == "stock":
         return jax.nn.gelu(x, approximate=False)
-    return _gelu_exact_fast(x)
+    if impl == "aspoly":
+        return _gelu_exact_fast(x)
+    # default 'fast': tanh-structured erf (op-isomorphic to the tanh graph;
+    # measured fastest erf formulation — docs/BENCH.md round 3)
+    return _gelu_exact_tanhstruct(x)
 
 
 def gelu_tanh(x):

@@ -66,6 +66,52 @@ def _kernel_gelu(x, approximate: bool):
     return 0.5 * x32 * (1.0 + _erf_poly(x32 * _SQRT1_2))
 
 
+# --- tanh-structured exact-erf GELU --------------------------------------
+# Round-3 HLO finding: with the save-one-residual custom VJP in place, the
+# A&S-polynomial erf graph STILL re-executes 8 vision c_fc matmuls that the
+# tanh twin never clones (scripts/hlo_diff.py; the abs/select/exp body plans
+# differently under XLA). This variant removes the structural difference
+# entirely: erf(x/sqrt2) = tanh(p(x)) with p an odd degree-13 polynomial
+# fitted by weighted Lawson iteration (max |gelu err| 1.24e-7, |gelu' err|
+# 4.4e-7 over [-8, 8] — three orders below bf16 resolution, the same
+# accuracy class as the A&S path; p stays > 8 for |x| > 8 so tanh remains
+# saturated). The resulting graph is op-for-op isomorphic to the tanh-GELU
+# graph (Horner in x^2 + one tanh), which XLA plans 10% faster.
+_TANH_ERF_C = (
+    7.978849415003e-01, 3.633308435436e-02, -3.259467502166e-05,
+    -5.530634998354e-05, 3.964779949953e-06, -1.322668724700e-07,
+    1.756295264109e-09,
+)
+
+
+def _tanh_erf_p(x32):
+    c1, c3, c5, c7, c9, c11, c13 = _TANH_ERF_C
+    u = x32 * x32
+    return x32 * (c1 + u * (c3 + u * (c5 + u * (c7 + u * (c9 + u * (c11 + u * c13))))))
+
+
+def _tanh_erf_dp(x32):
+    c1, c3, c5, c7, c9, c11, c13 = _TANH_ERF_C
+    u = x32 * x32
+    return c1 + u * (3 * c3 + u * (5 * c5 + u * (7 * c7 + u * (
+        9 * c9 + u * (11 * c11 + u * (13 * c13))))))
+
+
+def _kernel_gelu_tanherf(x):
+    """fp32 exact-erf GELU value via the tanh-structured polynomial."""
+    x32 = x.astype(jnp.float32)
+    return 0.5 * x32 * (1.0 + jnp.tanh(_tanh_erf_p(x32)))
+
+
+def _kernel_gelu_and_grad_tanherf(x):
+    """(value, d/dx) — exact derivatives of the tanh-structured formula."""
+    x32 = x.astype(jnp.float32)
+    t = jnp.tanh(_tanh_erf_p(x32))
+    val = 0.5 * x32 * (1.0 + t)
+    grad = 0.5 * (1.0 + t) + 0.5 * x32 * (1.0 - t * t) * _tanh_erf_dp(x32)
+    return val, grad
+
+
 def _kernel_gelu_and_grad(x, approximate: bool):
     """(value, d/dx) in fp32 — the exact derivatives of the formulas above."""
     x32 = x.astype(jnp.float32)

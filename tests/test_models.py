@@ -188,6 +188,46 @@ def test_fast_gelu_matches_stock_value_and_grad():
     assert gb.dtype == jnp.bfloat16
 
 
+def test_tanh_structured_erf_gelu_parity():
+    """erf-as-tanh-of-odd-polynomial GELU (the round-3 flagship default):
+    value/grad must match exact jax.nn.gelu to sub-bf16-noise, and the tanh
+    must stay saturated outside the [-8, 8] fit domain (monotone-positive
+    polynomial tail)."""
+    from colxlip_tpu.models.layers import _gelu_exact_tanhstruct
+
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal(8192).astype(np.float32)) * 4
+    ref = lambda v: jax.nn.gelu(v, approximate=False)  # noqa: E731
+    assert float(jnp.max(jnp.abs(_gelu_exact_tanhstruct(x) - ref(x)))) < 2e-6
+    g_new = jax.grad(lambda v: jnp.sum(_gelu_exact_tanhstruct(v)))(x)
+    g_ref = jax.grad(lambda v: jnp.sum(ref(v)))(x)
+    assert float(jnp.max(jnp.abs(g_new - g_ref))) < 1e-5
+    # tail: gelu(x) -> x for x >> 0, -> 0 for x << 0 (tanh saturated)
+    xt = jnp.asarray([-1e4, -100.0, -12.0, 12.0, 100.0, 1e4], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(_gelu_exact_tanhstruct(xt)),
+        np.asarray([0.0, 0.0, 0.0, 12.0, 100.0, 1e4]), atol=1e-6)
+    # bf16 path returns bf16 grads
+    xb = x.astype(jnp.bfloat16)
+    gb = jax.grad(
+        lambda v: jnp.sum(_gelu_exact_tanhstruct(v).astype(jnp.float32)))(xb)
+    assert gb.dtype == jnp.bfloat16
+
+
+def test_gelu_impl_env_selects_aspoly(monkeypatch):
+    """COLXLIP_GELU_IMPL=aspoly keeps the A&S-polynomial custom-VJP path
+    reachable for A/B work; it and the default tanh-structured path agree to
+    their combined approximation error."""
+    from colxlip_tpu.models import layers
+
+    x = jnp.linspace(-6, 6, 512)
+    monkeypatch.setenv("COLXLIP_GELU_IMPL", "aspoly")
+    aspoly = layers.gelu(x)
+    monkeypatch.delenv("COLXLIP_GELU_IMPL")
+    default = layers.gelu(x)
+    np.testing.assert_allclose(np.asarray(aspoly), np.asarray(default), atol=3e-6)
+
+
 def test_gelu_impl_env_selects_stock(monkeypatch):
     """COLXLIP_GELU_IMPL=stock routes to jax.nn.gelu (A/B + HLO-diff knob)."""
     from colxlip_tpu.models import layers
