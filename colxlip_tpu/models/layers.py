@@ -41,6 +41,14 @@ class LayerNorm(nn.Module):
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        from ..ops.fused_ln import (
+            fused_layernorm, fused_ln_supported, resolve_ln_impl,
+        )
+
+        if (resolve_ln_impl() == "fused"
+                and fused_ln_supported(x.shape, jax.default_backend(),
+                                       x.dtype.itemsize)):
+            return fused_layernorm(x, scale, bias, self.epsilon)
         x = x.astype(jnp.float32)
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)

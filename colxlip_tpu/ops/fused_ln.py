@@ -1,0 +1,222 @@
+"""Fused LayerNorm Pallas kernel (fp32 stats over a bf16 stream).
+
+Motivation (round-3 profile of the 793 img/s flagship step,
+scripts/profile_step.py): the XLA LayerNorm lowering spends ~23 ms/step on
+the forward stats alone (`convert_reduce_fusion` over [256,197] — 5x over
+bandwidth roofline because the cross-lane reduce + fp32 convert run as
+separate VPU passes) and ~30 ms/step more across the backward LN fusions;
+in total LN is ~15% of the train step at ViT-B scale. This kernel does the
+whole normalization in ONE read of x per direction:
+
+  forward : x -> y = (x - mean) * rsqrt(var + eps) * gamma + beta,
+            stats computed in fp32 in-register; nothing saved but x
+            (the save-one-residual pattern that won for GELU).
+  backward: recomputes mean/rstd from x (the tile is already in VMEM),
+            emits dx in one pass plus fp32 dgamma/dbeta accumulated
+            across the sequential grid (same pattern as fused_mlp's
+            weight grads).
+
+Counterpart of the reference's LayerNormFp32 semantics
+(/root/reference/src/colxlip/transformer.py:14-29): stats ALWAYS fp32,
+output cast back to the compute dtype. Exact XLA fallback below; dispatch
+is measured-on-chip before becoming a default (docs/BENCH.md protocol).
+
+MEASURED VERDICT (v5e, round 3 — docs/BENCH.md "Fused LN"): DEMOTED.
+End-to-end flagship step 678.3 img/s with the kernel vs 793.4 XLA; the
+isolated microbench (scripts/bench_ln.py, [256,197,768] bf16, chained
+in-jit loop) agrees: fwd 1.231 ms fused vs 0.818 ms XLA, fwd+bwd 1.507 vs
+0.827 ms. XLA's LN backward fuses into the surrounding matmul/remat
+fusions to near-zero marginal cost, which a kernel boundary forfeits —
+the ~23 ms/step "LN cost" in the profile was co-scheduled work, not
+removable stall. Default stays 'xla'; the kernel is kept behind
+COLXLIP_LN_IMPL=fused as measurement apparatus (same status as the
+Pallas MaxSim kernel).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+_FULL_BLOCK_BYTES = 8 * 1024 * 1024
+
+
+def _pick_block_r(r: int, d: int, itemsize: int) -> int:
+    """Mosaic requires the rows block be a multiple of 8 OR the full array."""
+    for br in (512, 256, 128, 64, 32, 16, 8):
+        if r % br == 0:
+            return br
+    if r * d * itemsize <= _FULL_BLOCK_BYTES:
+        return r  # full array in one block (small calls, e.g. init shapes)
+    return 0  # unsupported — caller must use the XLA path
+
+
+def _fwd_kernel(x_ref, g_ref, b_ref, y_ref, *, eps: float):
+    x = x_ref[...].astype(jnp.float32)                     # [BR, D]
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    y = xc * rstd * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    y_ref[...] = y.astype(y_ref.dtype)
+
+
+def _bwd_kernel(x_ref, g_ref, do_ref, dx_ref, dg_ref, db_ref, *, eps: float):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    x = x_ref[...].astype(jnp.float32)                     # [BR, D]
+    do = do_ref[...].astype(jnp.float32)
+    d = x.shape[1]
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    gdo = do * g_ref[...].astype(jnp.float32)
+    m1 = jnp.sum(gdo, axis=1, keepdims=True) / d
+    m2 = jnp.sum(gdo * xhat, axis=1, keepdims=True) / d
+    dx_ref[...] = (rstd * (gdo - m1 - xhat * m2)).astype(dx_ref.dtype)
+    dg_ref[...] += jnp.sum(do * xhat, axis=0)
+    db_ref[...] += jnp.sum(do, axis=0)
+
+
+def _fwd_call(x2d, scale, bias, eps, block_r, interpret):
+    from .fused_attention import _require_tpu
+
+    _require_tpu(interpret)
+    r, d = x2d.shape
+    br = block_r or _pick_block_r(r, d, x2d.dtype.itemsize)
+    if not br:
+        raise ValueError(f"fused LN unsupported for rows={r} (see _pick_block_r)")
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, eps=eps),
+        grid=(r // br,),
+        in_specs=[
+            pl.BlockSpec((br, d), lambda i: (i, 0)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((br, d), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((r, d), x2d.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * r * d,
+            bytes_accessed=2 * r * d * x2d.dtype.itemsize,
+            transcendentals=r,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x2d, scale, bias)
+
+
+def _bwd_call(x2d, scale, dout2d, eps, block_r, interpret):
+    from .fused_attention import _require_tpu
+
+    _require_tpu(interpret)
+    r, d = x2d.shape
+    br = block_r or _pick_block_r(r, d, x2d.dtype.itemsize)
+    if not br:
+        raise ValueError(f"fused LN unsupported for rows={r} (see _pick_block_r)")
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=eps),
+        grid=(r // br,),
+        in_specs=[
+            pl.BlockSpec((br, d), lambda i: (i, 0)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((br, d), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((br, d), lambda i: (i, 0)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, d), x2d.dtype),   # dx
+            jax.ShapeDtypeStruct((d,), jnp.float32),   # dgamma
+            jax.ShapeDtypeStruct((d,), jnp.float32),   # dbeta
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=16 * r * d,
+            bytes_accessed=3 * r * d * x2d.dtype.itemsize,
+            transcendentals=r,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x2d, scale, dout2d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_layernorm(x, scale, bias, eps: float = 1e-5,
+                    block_r: int = 0, interpret: bool = False):
+    """LayerNorm over the last axis of x ([..., D]); scale/bias are [D] fp32.
+
+    fp32 stats regardless of x.dtype, output in x.dtype. The custom VJP's
+    only residual is x itself (stats are recomputed in the backward kernel).
+    """
+    r = 1
+    for s in x.shape[:-1]:
+        r *= s
+    x2d = x.reshape(r, x.shape[-1])
+    y = _fwd_call(x2d, scale, bias, eps, block_r, interpret)
+    return y.reshape(x.shape)
+
+
+def _vjp_fwd(x, scale, bias, eps, block_r, interpret):
+    return fused_layernorm(x, scale, bias, eps, block_r, interpret), (x, scale)
+
+
+def _vjp_bwd(eps, block_r, interpret, res, dout):
+    x, scale = res
+    r = 1
+    for s in x.shape[:-1]:
+        r *= s
+    d = x.shape[-1]
+    dx, dg, db = _bwd_call(
+        x.reshape(r, d), scale, dout.reshape(r, d), eps, block_r, interpret)
+    return dx.reshape(x.shape), dg.astype(scale.dtype), db.astype(scale.dtype)
+
+
+fused_layernorm.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def layernorm_reference(x, scale, bias, eps: float = 1e-5):
+    """Exact XLA fallback with identical semantics (fp32 stats, cast back)."""
+    orig = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(orig)
+
+
+def fused_ln_supported(x_shape, backend: str, itemsize: int = 2) -> bool:
+    """Kernel constraints: TPU backend, lane dim a 128-multiple, and a rows
+    block that is a multiple of 8 or a VMEM-sized full array."""
+    d = x_shape[-1]
+    r = 1
+    for s in x_shape[:-1]:
+        r *= s
+    return (backend == "tpu" and d % 128 == 0 and r >= 1
+            and _pick_block_r(r, d, itemsize) > 0)
+
+
+def resolve_ln_impl(impl: str = "auto") -> str:
+    """'auto' -> measured winner. Env COLXLIP_LN_IMPL overrides; explicit
+    'fused'/'xla' force a path (the same dispatch protocol as attention /
+    fused-MLP: defaults only change on chip evidence, docs/BENCH.md)."""
+    if impl != "auto":
+        return impl
+    import os
+
+    forced = os.environ.get("COLXLIP_LN_IMPL")
+    if forced:
+        return forced
+    return "xla"  # flipped to 'fused' only if the chip measurement wins
