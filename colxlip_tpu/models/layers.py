@@ -18,6 +18,7 @@ checkpoint import is a mechanical rename (see training/checkpoint_import.py).
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional
 
 import jax
@@ -98,7 +99,7 @@ def _make_fast_gelu(approximate: bool):
     return _fast_gelu
 
 
-def _make_tanherf_gelu():
+def _make_tanherf_gelu(coeffs=None):
     """Exact-erf GELU whose graph is op-isomorphic to the tanh-GELU graph.
 
     Same save-one-residual custom VJP as ``_make_fast_gelu``, but erf is
@@ -111,17 +112,19 @@ def _make_tanherf_gelu():
 
     @jax.custom_vjp
     def _tanherf_gelu(x):
-        from ..ops.fused_mlp import _kernel_gelu_tanherf
+        from ..ops import fused_mlp as fm
 
-        return _kernel_gelu_tanherf(x).astype(x.dtype)
+        return fm._kernel_gelu_tanherf(
+            x, coeffs or fm._TANH_ERF_C).astype(x.dtype)
 
     def _fwd(x):
         return _tanherf_gelu(x), x
 
     def _bwd(x, g):
-        from ..ops.fused_mlp import _kernel_gelu_and_grad_tanherf
+        from ..ops import fused_mlp as fm
 
-        _, grad = _kernel_gelu_and_grad_tanherf(x)
+        _, grad = fm._kernel_gelu_and_grad_tanherf(
+            x, coeffs or fm._TANH_ERF_C)
         return ((g.astype(jnp.float32) * grad).astype(x.dtype),)
 
     _tanherf_gelu.defvjp(_fwd, _bwd)
@@ -131,6 +134,14 @@ def _make_tanherf_gelu():
 _gelu_exact_fast = _make_fast_gelu(approximate=False)
 _gelu_tanh_fast = _make_fast_gelu(approximate=True)
 _gelu_exact_tanhstruct = _make_tanherf_gelu()
+
+
+@functools.lru_cache(maxsize=1)
+def _gelu_exact_tanhstruct9():
+    # lazy: fused_mlp imports are deferred module-wide (import-cycle hygiene)
+    from ..ops.fused_mlp import _TANH_ERF_C9
+
+    return _make_tanherf_gelu(_TANH_ERF_C9)
 
 
 def gelu(x):
@@ -143,14 +154,20 @@ def gelu(x):
     # jax.nn.gelu erfc graph, for A/B and HLO-diff work).
     import os
 
-    impl = os.environ.get("COLXLIP_GELU_IMPL", "fast")
+    impl = os.environ.get("COLXLIP_GELU_IMPL", "fast9")
     if impl == "stock":
         return jax.nn.gelu(x, approximate=False)
     if impl == "aspoly":
         return _gelu_exact_fast(x)
-    # default 'fast': tanh-structured erf (op-isomorphic to the tanh graph;
-    # measured fastest erf formulation — docs/BENCH.md round 3)
-    return _gelu_exact_tanhstruct(x)
+    if impl == "fast":
+        # deg-13 tanh-structured erf (tightest fit: 1.2e-7 value error)
+        return _gelu_exact_tanhstruct(x)
+    # default 'fast9': deg-9 tanh-structured erf (ops/fused_mlp._TANH_ERF_C9)
+    # — 2 fewer fma per Horner chain than deg-13; fp32 error 3.4e-6/1.5e-5,
+    # still below the measured ON-CHIP tanh precision floor (5.8e-5/2.3e-4),
+    # so chip numerics are unchanged. Measured 793.4 -> 804.9/803.4 img/s at
+    # the flagship (docs/BENCH.md round 3).
+    return _gelu_exact_tanhstruct9()(x)
 
 
 def gelu_tanh(x):

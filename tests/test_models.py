@@ -214,6 +214,30 @@ def test_tanh_structured_erf_gelu_parity():
     assert gb.dtype == jnp.bfloat16
 
 
+def test_deg9_tanh_structured_erf_gelu(monkeypatch):
+    """COLXLIP_GELU_IMPL=fast9 selects the degree-9 fit (_TANH_ERF_C9):
+    value/grad within its fitted bounds of exact gelu (3.4e-6 / 1.5e-5 —
+    below the measured on-chip tanh precision floor), saturated tail."""
+    from colxlip_tpu.models import layers
+
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal(8192).astype(np.float32)) * 4
+    monkeypatch.setenv("COLXLIP_GELU_IMPL", "fast9")
+    ref = lambda v: jax.nn.gelu(v, approximate=False)  # noqa: E731
+    assert float(jnp.max(jnp.abs(layers.gelu(x) - ref(x)))) < 5e-6
+    g_new = jax.grad(lambda v: jnp.sum(layers.gelu(v)))(x)
+    g_ref = jax.grad(lambda v: jnp.sum(ref(v)))(x)
+    assert float(jnp.max(jnp.abs(g_new - g_ref))) < 2e-5
+    xt = jnp.asarray([-1e4, -100.0, -12.0, 12.0, 100.0, 1e4], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(layers.gelu(xt)),
+        np.asarray([0.0, 0.0, 0.0, 12.0, 100.0, 1e4]), atol=1e-6)
+    xb = x.astype(jnp.bfloat16)
+    gb = jax.grad(
+        lambda v: jnp.sum(layers.gelu(v).astype(jnp.float32)))(xb)
+    assert gb.dtype == jnp.bfloat16
+
+
 def test_gelu_impl_env_selects_aspoly(monkeypatch):
     """COLXLIP_GELU_IMPL=aspoly keeps the A&S-polynomial custom-VJP path
     reachable for A/B work; it and the default tanh-structured path agree to
@@ -225,7 +249,7 @@ def test_gelu_impl_env_selects_aspoly(monkeypatch):
     aspoly = layers.gelu(x)
     monkeypatch.delenv("COLXLIP_GELU_IMPL")
     default = layers.gelu(x)
-    np.testing.assert_allclose(np.asarray(aspoly), np.asarray(default), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(aspoly), np.asarray(default), atol=1e-5)
 
 
 def test_gelu_impl_env_selects_stock(monkeypatch):
@@ -237,4 +261,4 @@ def test_gelu_impl_env_selects_stock(monkeypatch):
     stock = layers.gelu(x)
     monkeypatch.delenv("COLXLIP_GELU_IMPL")
     fast = layers.gelu(x)
-    np.testing.assert_allclose(np.asarray(stock), np.asarray(fast), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(stock), np.asarray(fast), atol=1e-5)
