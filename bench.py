@@ -20,7 +20,7 @@ def main():
     p.add_argument("--model", default="ViT-B-16-colxlip")
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--loss", default="colclip",
-                   choices=["clip", "colclip", "siglip"])
+                   choices=["clip", "colclip", "siglip", "coca"])
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--image-size", type=int, default=224)
@@ -36,6 +36,10 @@ def main():
                    help="skip the secondary clip-loss measurement")
     p.add_argument("--maxsim-impl", default="auto",
                    choices=["auto", "xla", "streaming", "chunked", "pallas"])
+    p.add_argument("--ce-impl", default="dense", choices=["dense", "fused"],
+                   help="'fused' streams CE without materializing logits "
+                        "(clip InfoNCE via ops/fused_ce.py; coca caption CE "
+                        "via ops/vocab_ce.py)")
     p.add_argument("--baseline", type=float, default=3000.0)
     args = p.parse_args()
 
@@ -54,11 +58,24 @@ def main():
     from colxlip_tpu.training.schedules import cosine_lr
 
     import dataclasses
-    base_cfg = CLIPCfg.from_dict(get_model_config(args.model))
     remat = {"": False, "full": True, "mlp": "mlp",
              "mlp_scope": "mlp_scope", "act": "act"}[args.remat]
+    is_coca = "coca" in args.model.lower()
+    if is_coca:
+        # CoCa goes through the factory (multimodal_cfg + CoCa class); the
+        # caption head requires the coca loss
+        from colxlip_tpu.factory import create_model
+        args.loss = "coca"
+        _, base_cfg = create_model(args.model)
+    else:
+        base_cfg = CLIPCfg.from_dict(get_model_config(args.model))
 
     def build(gelu):
+        if is_coca:
+            model, _ = create_model(
+                args.model, gelu_approximate=gelu == "tanh",
+                grad_checkpointing=remat)
+            return model
         cfg = dataclasses.replace(base_cfg, gelu_approximate=gelu == "tanh")
         return ColXLIP(cfg, dtype=jnp.bfloat16, remat=remat)
 
@@ -82,7 +99,8 @@ def main():
         # queued non-donated steps OOM the chip)
         step = make_train_step(
             model, tx,
-            TrainStepConfig(loss_type=loss_type, maxsim_impl=args.maxsim_impl),
+            TrainStepConfig(loss_type=loss_type, maxsim_impl=args.maxsim_impl,
+                            ce_impl=args.ce_impl),
             donate=True,
         )
         state, metrics = step(state, images, texts)
@@ -124,7 +142,7 @@ def main():
         result["mfu_vs_calibrated_151tf"] = round(tflops / 151.0, 3)
     if not args.no_secondary:
         secondary = {}
-        if args.loss != "clip":
+        if args.loss not in ("clip", "coca"):
             clip_ips, _ = measure("clip", args.gelu)
             secondary[f"clip loss, {args.gelu}-gelu"] = round(clip_ips, 1)
         if args.gelu == "erf":

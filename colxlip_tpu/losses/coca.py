@@ -40,7 +40,14 @@ def coca_loss(
     local_loss: bool = False,
     gather_with_grad: bool = False,
     output_dict: bool = False,
+    ce_impl: str = "dense",
+    caption_hidden: Optional[jnp.ndarray] = None,
+    caption_head_kernel: Optional[jnp.ndarray] = None,
 ):
+    """ce_impl='fused' + caption_hidden/kernel streams the caption CE through
+    ops/vocab_ce.py (head matmul fused into the loss; the [B, L, V] logits —
+    which OOM the chip at batch 256 — are never materialized and the dense
+    ``logits`` input is dead-code-eliminated under jit)."""
     if clip_loss_weight:
         contrastive = clip_loss_weight * clip_loss(
             image_features, text_features, logit_scale,
@@ -49,9 +56,15 @@ def coca_loss(
         )
     else:
         contrastive = jnp.zeros((), jnp.float32)
-    caption = caption_loss_weight * caption_cross_entropy(
-        logits, labels, ignore_index=pad_id
-    )
+    if ce_impl == "fused" and caption_hidden is not None:
+        from ..ops.vocab_ce import streaming_vocab_ce
+
+        caption = caption_loss_weight * streaming_vocab_ce(
+            caption_hidden, caption_head_kernel, labels, pad_id)
+    else:
+        caption = caption_loss_weight * caption_cross_entropy(
+            logits, labels, ignore_index=pad_id
+        )
     if output_dict:
         return {"contrastive_loss": contrastive, "caption_loss": caption}
     return contrastive, caption

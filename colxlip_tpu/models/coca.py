@@ -160,6 +160,29 @@ class CoCaTextTower(nn.Module):
         return pooled, tokens
 
 
+class VocabHead(nn.Module):
+    """Bias-free vocab projection with an accessible kernel.
+
+    Drop-in for ``nn.Dense(vocab_size, use_bias=False)`` — same param name
+    ("kernel"), shape [in, vocab], and lecun-normal init, so checkpoints and
+    the .pt import mapping are unchanged — but the kernel is a plain setup
+    attribute, letting the CoCa forward hand it to the streaming vocab CE
+    without materializing [B, L, V] logits.
+    """
+    in_features: int
+    vocab_size: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.vocab_size), self.param_dtype)
+
+    def __call__(self, x):
+        return jnp.dot(x, self.kernel.astype(self.dtype))
+
+
 class CoCa(nn.Module):
     """Contrastive + captioning model (open_clip CoCa surface).
 
@@ -199,8 +222,12 @@ class CoCa(nn.Module):
             "logit_scale", nn.initializers.constant(self.cfg.init_logit_scale),
             (), jnp.float32,
         )
-        self.to_logits = nn.Dense(
-            self.cfg.text_cfg.vocab_size, use_bias=False, name="to_logits",
+        # equivalent of nn.Dense(vocab, use_bias=False) with the kernel
+        # exposed so the streaming caption CE (ops/vocab_ce.py) can fuse the
+        # head matmul into the loss; param path stays "to_logits/kernel"
+        self.to_logits = VocabHead(
+            in_features=self.multimodal_cfg.width,
+            vocab_size=self.cfg.text_cfg.vocab_size, name="to_logits",
             dtype=self.dtype, param_dtype=self.param_dtype,
         )
 
@@ -222,10 +249,16 @@ class CoCa(nn.Module):
         dec_in = text_tokens[:, :-1]
         dec = self.text_decoder(dec_in, image_embs)
         logits = self.to_logits(dec)
+        # caption_hidden + the head kernel let the loss layer fuse the vocab
+        # matmul into a streaming CE (ops/vocab_ce.py); under jit whichever
+        # of {logits, caption_hidden} the loss does not consume is dead-code
+        # eliminated, so emitting both costs nothing
         return {
             "image_features": image_features,
             "text_features": text_features,
             "logits": logits,
+            "caption_hidden": dec,
+            "caption_head_kernel": self.to_logits.kernel,
             "labels": text[:, 1:],
             "logit_scale": jnp.exp(self.logit_scale),
         }

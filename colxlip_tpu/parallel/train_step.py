@@ -90,6 +90,9 @@ def compute_loss(out: Dict[str, jnp.ndarray], cfg: TrainStepConfig,
             clip_loss_weight=cfg.coca_contrastive_loss_weight,
             axis_name=axis_name, local_loss=cfg.local_loss,
             gather_with_grad=cfg.gather_with_grad, output_dict=True,
+            ce_impl=cfg.ce_impl,
+            caption_hidden=out.get("caption_hidden"),
+            caption_head_kernel=out.get("caption_head_kernel"),
         )
         return {
             "contrastive_loss": d["contrastive_loss"],
