@@ -61,6 +61,9 @@ def main():
     remat = {"": False, "full": True, "mlp": "mlp",
              "mlp_scope": "mlp_scope", "act": "act"}[args.remat]
     is_coca = "coca" in args.model.lower()
+    if args.loss == "coca" and not is_coca:
+        p.error("--loss coca needs a CoCa model (caption logits/labels); "
+                f"{args.model!r} has no caption head — pick a *-CoCa config")
     if is_coca:
         # CoCa goes through the factory (multimodal_cfg + CoCa class); the
         # caption head requires the coca loss

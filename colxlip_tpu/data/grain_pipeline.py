@@ -73,6 +73,10 @@ class _TarChunkIndex:
                         if base != current_key:
                             if groups >= self.chunk_samples:
                                 chunks.append((path, start, groups))
+                                # tarfile restores .offset to any GNU-longname
+                                # /PAX header PRECEDING the ustar header, so a
+                                # boundary member with a >100-char key re-reads
+                                # with its full name (verified both formats)
                                 start = member.offset
                                 groups = 0
                             current_key = base

@@ -246,6 +246,18 @@ class SimpleTokenizer:
             self._native_handle = None
         return self._native_handle
 
+    def __del__(self):
+        # each handle holds the full 49k-entry encoder + ranks maps natively;
+        # release it so repeated tokenizer construction doesn't leak
+        if getattr(self, "_native_handle", None) is not None:
+            try:
+                from .. import native
+
+                native.bpe_free(self._native_handle)
+            except Exception:  # noqa: BLE001 — interpreter teardown
+                pass
+            self._native_handle = None
+
     def __call__(
         self,
         texts: Union[str, Sequence[str]],

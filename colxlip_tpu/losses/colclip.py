@@ -70,8 +70,7 @@ def _ring_maxsim_rows(
         # block appearing as columns/rotating queries
         rotating = jax.lax.stop_gradient(rotating)
 
-    def body(carry, s):
-        rotating, rot_mask, cols = carry
+    def compute_block(rotating, rot_mask, cols, s):
         owner = (rank - s) % n  # whose block we currently hold
         if not transpose:
             block = maxsim(local, rotating, mask_mode=mask_mode,
@@ -79,19 +78,30 @@ def _ring_maxsim_rows(
         else:
             block = maxsim(rotating, local, mask_mode=mask_mode,
                            text_mask=rot_mask, impl=maxsim_impl).T
-        cols = jax.lax.dynamic_update_slice(
+        return jax.lax.dynamic_update_slice(
             cols, block.astype(cols.dtype), (0, owner * b_block))
+
+    def body(carry, s):
+        # shift FIRST, then compute: the s=0 (local) block is handled outside
+        # the scan, so only n-1 ppermutes run — the old compute-then-shift
+        # body did n, wasting one full rotating-block ICI exchange per
+        # direction per step whose result was discarded.
+        rotating, rot_mask, cols = carry
         rotating = _ring_shift(rotating, axis_name)
         if rot_mask is not None:
             rot_mask = _ring_shift(rot_mask, axis_name)
+        cols = compute_block(rotating, rot_mask, cols, s)
         return (rotating, rot_mask, cols), None
 
     cols0 = jnp.zeros((b_rows, n * b_block), jnp.float32)
     # the zeros init is unvarying over the mesh axis while the body writes
     # varying blocks into it — pcast aligns the scan carry's manual-axes type
     cols0 = jax.lax.pcast(cols0, (axis_name,), to="varying")
+    cols0 = compute_block(rotating, rot_mask, cols0, 0)
+    if n == 1:
+        return cols0
     (_, _, cols), _ = jax.lax.scan(
-        body, (rotating, rot_mask, cols0), jnp.arange(n))
+        body, (rotating, rot_mask, cols0), jnp.arange(1, n))
     return cols
 
 

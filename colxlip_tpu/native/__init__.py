@@ -226,6 +226,17 @@ def bpe_init(merges_blob: bytes) -> Optional[int]:
     return None if handle < 0 else int(handle)
 
 
+def bpe_free(handle: int) -> None:
+    """Release a native tokenizer handle (idempotent; safe at shutdown)."""
+    lib = _TOK_LIB  # don't (re)build during interpreter teardown
+    if lib is None or handle is None:
+        return
+    try:
+        lib.cx_bpe_free(handle)
+    except Exception:  # noqa: BLE001 — teardown-time ctypes may be gone
+        pass
+
+
 def bpe_encode_batch(handle: int, texts: Sequence[bytes], context_length: int) -> np.ndarray:
     """Tokenize ASCII-eligible byte strings -> [n, ctx] int32 (SOT...EOT,
     zero-padded, EOT-forced truncation — SimpleTokenizer.__call__ layout)."""

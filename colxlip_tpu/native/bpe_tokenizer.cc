@@ -64,7 +64,11 @@ void bytes_to_unicode(std::vector<std::string>& sym_of_byte,
 struct Tokenizer {
   std::unordered_map<std::string, int32_t> encoder;
   std::unordered_map<std::string, int32_t> ranks;  // "first\x01second" -> rank
+  // word cache shared across encode calls; guarded by cache_mu because
+  // ctypes releases the GIL during cx_bpe_encode_batch and the wds pipeline
+  // tokenizes from several worker threads on one handle.
   std::unordered_map<std::string, std::vector<int32_t>> cache;
+  std::mutex cache_mu;
   std::vector<std::string> sym_of_byte;
   static constexpr int32_t kSot = 49406;
   static constexpr int32_t kEot = 49407;
@@ -98,10 +102,15 @@ struct Tokenizer {
   }
 
   // the greedy merge loop of SimpleTokenizer.bpe() on one pattern token
-  // (ASCII bytes; per-byte == per-character symbols)
-  const std::vector<int32_t>& bpe(const std::string& token) {
-    auto hit = cache.find(token);
-    if (hit != cache.end()) return hit->second;
+  // (ASCII bytes; per-byte == per-character symbols). Returns by VALUE:
+  // a reference into `cache` could be invalidated by another thread's
+  // capacity clear() between the lookup and the caller's read.
+  std::vector<int32_t> bpe(const std::string& token) {
+    {
+      std::lock_guard<std::mutex> lock(cache_mu);
+      auto hit = cache.find(token);
+      if (hit != cache.end()) return hit->second;
+    }
     std::vector<std::string> word;
     word.reserve(token.size());
     for (size_t i = 0; i + 1 < token.size(); ++i)
@@ -141,8 +150,12 @@ struct Tokenizer {
     std::vector<int32_t> ids;
     ids.reserve(word.size());
     for (const auto& w : word) ids.push_back(encoder.at(w));
-    if (cache.size() >= kCacheCap) cache.clear();
-    return cache.emplace(token, std::move(ids)).first->second;
+    {
+      std::lock_guard<std::mutex> lock(cache_mu);
+      if (cache.size() >= kCacheCap) cache.clear();
+      cache.emplace(token, ids);
+    }
+    return ids;
   }
 
   // clean + pattern-scan + BPE one text into ids (no SOT/EOT)
@@ -208,7 +221,7 @@ struct Tokenizer {
       // ASCII printable bytes map to themselves under bytes_to_unicode,
       // so the byte-encoded token IS the token (eligibility guarantees
       // bytes in [0x20..0x7E]; space can't appear inside a token)
-      const std::vector<int32_t>& ids = bpe(tok);
+      const std::vector<int32_t> ids = bpe(tok);
       out.insert(out.end(), ids.begin(), ids.end());
     }
   }
@@ -238,6 +251,7 @@ int cx_bpe_encode_batch(int handle, const char** texts, int n, int ctx,
     if (handle < 0 || handle >= static_cast<int>(g_handles.size())) return -1;
     t = g_handles[handle];
   }
+  if (!t) return -1;  // handle already freed
   std::vector<int32_t> ids;
   for (int r = 0; r < n; ++r) {
     ids.clear();

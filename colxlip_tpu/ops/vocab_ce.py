@@ -70,12 +70,16 @@ def _forward(hidden, kernel, labels, ignore_index, chunk):
     h2, lab, r, _ = _flatten_pad(hidden, labels, ignore_index, chunk)
     c = _pick_chunk(h2.shape[0], chunk)
     n = h2.shape[0] // c
+    # cast the (fp32-stored) kernel to the activation dtype so the [C, V]
+    # matmul runs on the bf16 MXU path — and so the backward's recomputed
+    # softmax (which uses the same cast) is the derivative of THIS loss
+    k_cast = kernel.astype(hidden.dtype)
     valid_count = jnp.maximum(
         jnp.sum((lab != ignore_index).astype(jnp.float32)), 1.0)
 
     def body(acc, inp):
         h_c, lab_c = inp
-        logits = jnp.dot(h_c, kernel, preferred_element_type=jnp.float32)
+        logits = jnp.dot(h_c, k_cast, preferred_element_type=jnp.float32)
         lse = jax.scipy.special.logsumexp(logits, axis=-1)
         true = jnp.take_along_axis(logits, lab_c[:, None], axis=-1)[:, 0]
         valid = (lab_c != ignore_index).astype(jnp.float32)

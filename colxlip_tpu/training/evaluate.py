@@ -92,6 +92,37 @@ def _pad_batch(arr: np.ndarray, batch_size: int) -> Tuple[np.ndarray, int]:
     return np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)]), n
 
 
+def local_shard_scheme(params, devices=None):
+    """Batch-shard eval encodes over the local chips.
+
+    Returns ``(ship, params, n_devices)``: ``ship(arr)`` pads ``arr`` on its
+    batch axis to an ``n_devices`` multiple (repeating the last row; callers
+    slice outputs back to the true row count) and device_puts it sharded over
+    a local 1-D mesh; ``params`` come back replicated on that mesh. The
+    towers are per-sample so the jitted encode runs batch-parallel with zero
+    collectives. On a single device ``ship`` is ``jnp.asarray`` and params
+    are returned untouched. Shared by the retrieval ``Encoder`` and
+    ``zero_shot_eval`` (one copy of the scheme, not two drifting ones).
+    """
+    devices = list(jax.local_devices()) if devices is None else list(devices)
+    n = len(devices)
+    if n <= 1:
+        return jnp.asarray, params, 1
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(devices), ("data",))
+    batch_sharding = NamedSharding(mesh, P("data"))
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+
+    def ship(arr):
+        arr = np.asarray(arr)
+        if arr.shape[0] % n:
+            arr, _ = _pad_batch(arr, arr.shape[0] + (-arr.shape[0] % n))
+        return jax.device_put(arr, batch_sharding)
+
+    return ship, params, n
+
+
 class Encoder:
     """Jitted, fixed-batch-size encode functions for a model/params pair.
 
@@ -105,22 +136,11 @@ class Encoder:
 
     def __init__(self, model, params, batch_size: int = 256,
                  with_tokens: bool = True, devices=None):
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
         self.model = model
         self.with_tokens = with_tokens
-        devices = list(jax.local_devices()) if devices is None else list(devices)
-        self._batch_sharding = None
-        if len(devices) > 1:
-            n = len(devices)
-            # fixed batch shape, rounded up to split evenly over the devices
-            self.batch_size = -(-batch_size // n) * n
-            mesh = Mesh(np.asarray(devices), ("data",))
-            self._batch_sharding = NamedSharding(mesh, P("data"))
-            self.params = jax.device_put(params, NamedSharding(mesh, P()))
-        else:
-            self.batch_size = batch_size
-            self.params = params
+        self._ship_fn, self.params, n = local_shard_scheme(params, devices)
+        # fixed batch shape, rounded up to split evenly over the devices
+        self.batch_size = -(-batch_size // n) * n
 
         @jax.jit
         def encode_text(params, texts):
@@ -140,9 +160,7 @@ class Encoder:
         self._encode_image = encode_image
 
     def _ship(self, batch: np.ndarray):
-        if self._batch_sharding is not None:
-            return jax.device_put(batch, self._batch_sharding)
-        return jnp.asarray(batch)
+        return self._ship_fn(batch)
 
     def _run(self, fn, batches: Iterable[np.ndarray]):
         feats, toks = [], []

@@ -218,23 +218,11 @@ def zero_shot_eval(
         return feats @ classifier
 
     # batch-shard the val encode over the local chips (same scheme as the
-    # retrieval Encoder — the towers are per-sample, zero collectives)
-    devices = jax.local_devices()
-    ship = jnp.asarray
-    if len(devices) > 1:
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    # retrieval Encoder; the caller slices logits back to the true row count)
+    from .evaluate import local_shard_scheme
 
-        mesh = Mesh(np.asarray(devices), ("data",))
-        batch_size = -(-batch_size // len(devices)) * len(devices)
-        batch_sharding = NamedSharding(mesh, P("data"))
-        params = jax.device_put(params, NamedSharding(mesh, P()))
-
-        def ship(arr):  # noqa: E306 — pads to a devices multiple; caller
-            # slices the logits back to the true row count
-            if arr.shape[0] % len(devices):
-                pad = -arr.shape[0] % len(devices)
-                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
-            return jax.device_put(arr, batch_sharding)
+    ship, params, n_dev = local_shard_scheme(params)
+    batch_size = -(-batch_size // n_dev) * n_dev
 
     top1 = top5 = n = 0
     for images, labels in iter_imagenet_val(val_dir, transform, batch_size):

@@ -194,7 +194,7 @@ def test_encoder_shards_over_local_devices(fake_coco):
 
     multi = Encoder(model, params, batch_size=4, devices=jax.devices()[:4])
     single = Encoder(model, params, batch_size=4, devices=jax.devices()[:1])
-    assert multi.batch_size == 4 and multi._batch_sharding is not None
+    assert multi.batch_size == 4 and multi._ship_fn is not single._ship_fn
     fm, tm = multi.encode_images(suite)
     fs, ts = single.encode_images(suite)
     np.testing.assert_allclose(fm, fs, atol=1e-6)

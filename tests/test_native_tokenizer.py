@@ -108,3 +108,47 @@ def test_short_context_truncation():
     assert got.shape == (1, 8)
     assert got[0, 0] == tok.sot_token
     assert got[0, -1] == tok.eot_token
+
+
+def test_concurrent_encode_thread_safe(merges_file):
+    """The wds pipeline tokenizes from several worker threads on ONE handle
+    (ctypes releases the GIL), so the C++ word cache must be lock-guarded:
+    hammer the same tokenizer from many threads and pin byte-identical rows."""
+    import threading
+
+    tok = SimpleTokenizer(bpe_path=merges_file, context_length=32)
+    # diverse word set so the cache keeps inserting (not just hitting)
+    texts = [f"the photo {i} of dog {i * 7919 % 97} and thing{i}"
+             for i in range(256)]
+    want = tok(texts)  # serial reference (also warms the handle)
+    results = [None] * 8
+    errs = []
+
+    def worker(slot):
+        try:
+            for _ in range(20):
+                results[slot] = tok(texts)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    for r in results:
+        np.testing.assert_array_equal(r, want)
+
+
+def test_freed_handle_errors_and_del_is_safe(merges_file):
+    tok = SimpleTokenizer(bpe_path=merges_file, context_length=16)
+    handle = tok._get_native()
+    assert handle is not None
+    assert native.bpe_encode_batch(handle, [b"a dog"], 16).shape == (1, 16)
+    native.bpe_free(handle)
+    native.bpe_free(handle)  # double-free is a no-op
+    with pytest.raises(RuntimeError):
+        native.bpe_encode_batch(handle, [b"a dog"], 16)
+    tok._native_handle = None  # freed manually; keep __del__ from re-freeing
+    del tok  # __del__ must not raise

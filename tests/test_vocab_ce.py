@@ -120,3 +120,22 @@ def test_coca_model_emits_streaming_inputs():
     np.testing.assert_allclose(
         np.asarray(recon, np.float32), np.asarray(out["logits"], np.float32),
         atol=1e-2)
+
+
+def test_fp32_kernel_bf16_hidden_fwd_bwd_consistent(case):
+    """With a fp32-stored kernel and bf16 activations the forward must run
+    the matmul on the bf16-cast kernel (the MXU path) — i.e. value and grads
+    are EXACTLY those of the pre-cast kernel, so the custom-VJP backward
+    (which recomputes softmax from the same cast) differentiates the loss
+    the forward actually reported."""
+    hidden, kernel, labels = case
+    h16 = hidden.astype(jnp.bfloat16)
+    k32 = kernel  # fp32 storage, as in the train state
+    k_pre = kernel.astype(jnp.bfloat16).astype(jnp.float32)
+    got = streaming_vocab_ce(h16, k32, labels, 0, 16)
+    want = streaming_vocab_ce(h16, k_pre, labels, 0, 16)
+    assert float(got) == float(want)
+    g32 = jax.grad(lambda h: streaming_vocab_ce(h, k32, labels, 0, 16))(h16)
+    gpre = jax.grad(lambda h: streaming_vocab_ce(h, k_pre, labels, 0, 16))(h16)
+    np.testing.assert_array_equal(np.asarray(g32, np.float32),
+                                  np.asarray(gpre, np.float32))
