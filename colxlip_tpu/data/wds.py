@@ -37,6 +37,7 @@ import random
 import re
 import tarfile
 import threading
+import dataclasses
 from dataclasses import dataclass
 from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -261,18 +262,30 @@ class ShuffleBuffer:
         self.rng = rng or random.Random()
 
     def __iter__(self):
+        # webdataset _shuffle semantics: grow the buffer toward bufsize by
+        # consuming an extra sample per yield during warmup, POP a random
+        # element once `initial` is reached. (The earlier swap-after-append
+        # variant double-inserted every item once warm — near-100% sample
+        # duplication and unbounded buffer growth.)
         buf: List = []
         source = iter(self.source)
+
+        def pick():
+            idx = self.rng.randrange(len(buf))
+            buf[idx], buf[-1] = buf[-1], buf[idx]
+            return buf.pop()
+
         for item in source:
             buf.append(item)
-            if len(buf) < self.initial:
-                continue
-            if len(buf) >= self.bufsize:
-                idx = self.rng.randrange(len(buf))
-                buf[idx], item = item, buf[idx]
-                yield item
-        self.rng.shuffle(buf)
-        yield from buf
+            if len(buf) < self.bufsize:
+                try:
+                    buf.append(next(source))
+                except StopIteration:
+                    pass
+            if len(buf) >= self.initial:
+                yield pick()
+        while buf:
+            yield pick()
 
 
 # ---------------------------------------------------------------------------
@@ -366,6 +379,11 @@ class WdsTrainPipeline:
 
     def __init__(self, cfg: WdsConfig, transform, tokenizer,
                  shared_epoch: Optional[SharedEpoch] = None):
+        if cfg.num_workers < 1:
+            # --workers 0 is valid in the reference (in-process loading);
+            # raw 0 here would crash shard slicing (urls[0::0]) and collapse
+            # resampled per-rank seeds (rank * 0 + 0 == 0 for every rank)
+            cfg = dataclasses.replace(cfg, num_workers=1)
         self.cfg = cfg
         self.transform = transform
         self.tokenizer = tokenizer
@@ -472,7 +490,16 @@ class WdsTrainPipeline:
         except Exception as exn:
             log_and_continue(exn)
         finally:
-            out_q.put(None)  # worker-done sentinel
+            # worker-done sentinel. Must not block forever: when the consumer
+            # returns early (num_batches reached) the queue may be full and
+            # never drained again — an untimed put would hang every worker
+            # thread past the consumer's join timeout.
+            while not stop.is_set():
+                try:
+                    out_q.put(None, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
 
     # -- consumer side -------------------------------------------------------
 
@@ -528,6 +555,7 @@ class WdsTrainPipeline:
         produced_batches = 0
         done_workers = 0
         items: List = []
+        reservoir: List = []  # last full batch, for equal-batch rollover
         try:
             while done_workers < num_workers:
                 item = out_q.get()
@@ -537,12 +565,34 @@ class WdsTrainPipeline:
                 items.append(item)
                 if len(items) == cfg.batch_size:
                     yield self._assemble_batch(items)
+                    reservoir = items
                     items = []
                     produced_batches += 1
                     if self.num_batches is not None and produced_batches >= self.num_batches:
                         return
             # deterministic mode: drop the final partial batch (reference
-            # drops partials via wds batched(partial=False))
+            # drops partials via wds batched(partial=False)) — but every
+            # host MUST still emit exactly num_batches or the others hang in
+            # the next collective: repeat recent samples to fill the tail,
+            # the reference's equal-batch rollover (data.py:321-330).
+            if self.num_batches is not None and produced_batches < self.num_batches:
+                pool = items + reservoir
+                if not pool:
+                    raise RuntimeError(
+                        f"shard split for rank {cfg.rank} yielded no samples; "
+                        f"cannot equalize to {self.num_batches} batches — "
+                        "other hosts would deadlock in the first collective")
+                logger.warning(
+                    "shard split exhausted at %d/%d batches; repeating "
+                    "samples for the remainder (equal-batches-per-host)",
+                    produced_batches, self.num_batches)
+                k = 0
+                while produced_batches < self.num_batches:
+                    batch = [pool[(k + i) % len(pool)]
+                             for i in range(cfg.batch_size)]
+                    k += cfg.batch_size
+                    yield self._assemble_batch(batch)
+                    produced_batches += 1
         finally:
             stop.set()
             try:

@@ -417,16 +417,20 @@ def main(argv=None) -> int:
                     time.perf_counter() - t0)
         completed_epoch = epoch + 1
 
-        if suites and is_master and (
-            completed_epoch % args.val_frequency == 0 or completed_epoch == args.epochs
+        if (suites or zero_shot_fn is not None) and is_master and (
+            (args.val_frequency > 0 and completed_epoch % args.val_frequency == 0)
+            or completed_epoch == args.epochs
         ):
-            eval_params = jax.device_get(state.params)
             zs = zero_shot_fn if (
                 zero_shot_fn is not None
+                and args.zeroshot_frequency > 0
                 and completed_epoch % args.zeroshot_frequency == 0
             ) else None
+            # params stay on device: the Encoder re-places them on the local
+            # eval mesh itself, and a device_get round trip costs minutes at
+            # the relay's ~14 MB/s for ViT-L-size states
             evaluate(
-                model, jax.tree.map(jnp.asarray, eval_params), suites,
+                model, state.params, suites,
                 epoch=completed_epoch, batch_size=args.batch_size,
                 scoring=args.eval_scoring, alpha=args.alpha,
                 results_file=os.path.join(checkpoint_dir, "results.jsonl"),

@@ -150,6 +150,7 @@ def train_one_epoch(
     last_log_i = 0
     steps_run = 0
     metrics = {}
+    trace_active = False
     try:
         for i, (images, texts) in enumerate(prefetch):
             if steps_per_epoch is not None and i >= steps_per_epoch:
@@ -159,10 +160,12 @@ def train_one_epoch(
 
             if profiler_dir and i == 2:
                 jax.profiler.start_trace(profiler_dir)
+                trace_active = True
             state, metrics = step_fn(state, images, texts)
             if profiler_dir and i == 4:
                 jax.block_until_ready(metrics["total_loss"])
                 jax.profiler.stop_trace()
+                trace_active = False
 
             steps_run += 1
             step_idx = start_step + steps_run
@@ -204,7 +207,17 @@ def train_one_epoch(
             end = time.perf_counter()
     finally:
         prefetch.close()
+        if trace_active:
+            # epoch shorter than the stop step: finalize the trace so the
+            # capture is written and a later start_trace doesn't raise
+            try:
+                jax.profiler.stop_trace()
+            except Exception:  # noqa: BLE001 — best-effort finalization
+                logger.warning("profiler trace finalization failed")
 
     if metrics:
-        jax.block_until_ready(metrics.get("total_loss"))
+        # device_get, not block_until_ready: the relay's async dispatch can
+        # return early from block_until_ready (CLAUDE.md timing trap), and
+        # main() logs the epoch wall-time right after this sync
+        jax.device_get(metrics.get("total_loss"))
     return state, steps_run

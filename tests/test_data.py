@@ -480,3 +480,55 @@ def test_grain_chunked_pipeline_small_chunks(tar_shards):
     batches = list(pipe)
     assert len(batches) >= 2
     assert batches[0][0].shape == (4, 32, 32, 3)
+
+
+def test_shuffle_buffer_is_a_permutation():
+    """Streaming shuffle must yield each input EXACTLY once (the round-3
+    review found a swap-after-append variant that duplicated ~every sample
+    once warm and grew the buffer without bound) with bounded memory."""
+    import random as _random
+
+    from colxlip_tpu.data.wds import ShuffleBuffer
+
+    items = list(range(20_000))
+    out = list(ShuffleBuffer(iter(items), bufsize=512, initial=128,
+                             rng=_random.Random(0)))
+    assert len(out) == len(items)
+    assert sorted(out) == items          # a permutation: no dups, no drops
+    assert out != items                  # and actually shuffled
+
+
+def test_shuffle_buffer_bounded_memory():
+    from colxlip_tpu.data.wds import ShuffleBuffer
+    import random as _random
+
+    sb = ShuffleBuffer(iter(range(10_000)), bufsize=256, initial=64,
+                       rng=_random.Random(1))
+    it = iter(sb)
+    peak = 0
+    # introspect the generator's local buffer while draining
+    for i, _ in enumerate(it):
+        frame_locals = it.gi_frame.f_locals if it.gi_frame else {}
+        peak = max(peak, len(frame_locals.get("buf", ())))
+    assert peak <= 256
+
+
+def test_equal_batches_rollover_when_split_exhausts(tar_shards):
+    """A host whose shard split runs dry must still emit exactly num_batches
+    (repeating samples) or the other hosts hang in the next collective."""
+    from colxlip_tpu.data.tokenizer import SimpleTokenizer
+    from colxlip_tpu.data.transforms import image_transform
+    from colxlip_tpu.data.wds import WdsConfig, WdsTrainPipeline
+
+    tok = SimpleTokenizer(context_length=16)
+    transform = image_transform(32, is_train=True)
+    # shards hold 16 samples total; demand 40 => rollover fills the tail
+    cfg = WdsConfig(
+        urls=f"{tar_shards}/shard-{{0000..0001}}.tar",
+        batch_size=4, num_samples=40, num_workers=1,
+        shuffle_buffer=0, seed=0,
+    )
+    pipe = WdsTrainPipeline(cfg, transform, tok)
+    batches = list(pipe)
+    assert len(batches) == pipe.num_batches
+    assert all(imgs.shape[0] == 4 for imgs, _ in batches)
