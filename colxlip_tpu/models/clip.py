@@ -178,10 +178,15 @@ class ColXLIP(nn.Module):
         (model.py:581-593): positions < eot keep their ln_final features.
         """
         pooled, token_features = self.text(text)
-        eot_idx = jnp.argmax(text, axis=-1)  # [B]
-        positions = jnp.arange(text.shape[1])[None, :]  # [1, L]
-        keep = positions < eot_idx[:, None]  # strictly before EOT
-        token_features = jnp.where(keep[:, :, None], token_features, 0.0)
+        if self.cfg.text_cfg.pool_type == "argmax":
+            # the reference guards the zeroing on argmax pooling
+            # (model.py:581-593) — under 'first'/'last'/'none' the argmax of
+            # the token ids is not the EOT position and masking on it would
+            # silently zero most of the sequence
+            eot_idx = jnp.argmax(text, axis=-1)  # [B]
+            positions = jnp.arange(text.shape[1])[None, :]  # [1, L]
+            keep = positions < eot_idx[:, None]  # strictly before EOT
+            token_features = jnp.where(keep[:, :, None], token_features, 0.0)
         token_features = self.text_token_layer(token_features)
         if normalize:
             pooled = l2_normalize(pooled)
@@ -220,12 +225,15 @@ class ColXLIP(nn.Module):
         NOTE: this model-method variant uses an unmasked mean over text
         tokens; the training loss uses the non-zero masked mean
         (losses/colclip.py). Both are provided for parity.
+
+        Dispatches through ops.maxsim (impl='auto'): the direct einsum
+        materializes [M,K,Lt,Li] fp32 — ~4 GB for a 256x256 eval batch —
+        so large problems stream instead (same values, bounded memory).
         """
-        sim = jnp.einsum(
-            "mnd,kqd->mknq", token_text_features, token_image_features,
-            preferred_element_type=jnp.float32,
-        )
-        return jnp.max(sim, axis=3).mean(axis=-1)
+        from ..ops.maxsim import maxsim
+
+        return maxsim(token_text_features, token_image_features,
+                      mask_mode="plain")
 
     def __call__(self, image=None, text=None, train: bool = False):
         """Returns the 4 feature tensors + logit_scale (reference model.py:631-686)."""

@@ -32,9 +32,10 @@ class LayerNorm(nn.Module):
     """LayerNorm computed in fp32, output cast back to the compute dtype.
 
     Counterpart of reference transformer.py:14-29 (LayerNormFp32/LayerNorm).
+    Stats always run fp32 and the output is cast back to the INPUT's dtype —
+    deliberately no dtype knob (a field here would be dead config).
     """
     epsilon: float = 1e-5
-    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -162,6 +163,12 @@ def gelu(x):
     if impl == "fast":
         # deg-13 tanh-structured erf (tightest fit: 1.2e-7 value error)
         return _gelu_exact_tanhstruct(x)
+    if impl != "fast9":
+        # a typo'd env silently benchmarking the wrong path is exactly how
+        # perf numbers go wrong — same loud failure as COLXLIP_ATTN_IMPL
+        raise ValueError(
+            f"COLXLIP_GELU_IMPL={impl!r}: expected one of "
+            "'fast9' (default), 'fast', 'aspoly', 'stock'")
     # default 'fast9': deg-9 tanh-structured erf (ops/fused_mlp._TANH_ERF_C9)
     # — 2 fewer fma per Horner chain than deg-13; fp32 error 3.4e-6/1.5e-5,
     # still below the measured ON-CHIP tanh precision floor (5.8e-5/2.3e-4),
@@ -228,10 +235,11 @@ class _DenseParams(nn.Module):
     raw arrays while keeping the checkpoint tree identical."""
     features: int
     param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, in_features: int):
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        kernel = self.param("kernel", self.kernel_init,
                             (in_features, self.features), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,), self.param_dtype)
@@ -258,11 +266,17 @@ class MLP(nn.Module):
     param_dtype: Dtype = jnp.float32
     checkpoint_act: bool = False
     mlp_impl: str = "auto"
+    # from-scratch init overrides (reference transformer.py:925-940 text-
+    # tower scheme); None keeps flax's lecun_normal default
+    fc_init: Optional[Callable] = None
+    proj_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x):
         from jax.ad_checkpoint import checkpoint_name
 
+        fc_init = self.fc_init or nn.initializers.lecun_normal()
+        proj_init = self.proj_init or nn.initializers.lecun_normal()
         hidden = int(self.dim * self.mlp_ratio)
 
         # fused Pallas path (TPU): whole MLP in one kernel, zero [B,N,4D]
@@ -276,18 +290,21 @@ class MLP(nn.Module):
                 and x.ndim == 3 and resolve_mlp_impl(self.mlp_impl) == "fused"):
             from ..ops.fused_mlp import fused_mlp
 
-            w1, b1 = _DenseParams(hidden, self.param_dtype, name="c_fc")(x.shape[-1])
-            w2, b2 = _DenseParams(self.dim, self.param_dtype, name="c_proj")(hidden)
+            w1, b1 = _DenseParams(hidden, self.param_dtype, fc_init,
+                                  name="c_fc")(x.shape[-1])
+            w2, b2 = _DenseParams(self.dim, self.param_dtype, proj_init,
+                                  name="c_proj")(hidden)
             dt = self.dtype
             return fused_mlp(x.astype(dt), w1.astype(dt), b1.astype(dt),
                              w2.astype(dt), b2.astype(dt), approximate)
 
-        x = nn.Dense(hidden, name="c_fc", dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        x = nn.Dense(hidden, name="c_fc", dtype=self.dtype,
+                     param_dtype=self.param_dtype, kernel_init=fc_init)(x)
         # named so remat='mlp' can refuse to save the 4x-wide tensors (the
         # dominant activation memory: 2x [B, N, 4D] per layer)
         x = checkpoint_name(x, "mlp_hidden_pre")
         c_proj = nn.Dense(self.dim, name="c_proj", dtype=self.dtype,
-                          param_dtype=self.param_dtype)
+                          param_dtype=self.param_dtype, kernel_init=proj_init)
         if self.checkpoint_act:
             def act_proj(mdl, h):
                 return mdl(self.act(h))
@@ -313,6 +330,10 @@ class MultiHeadAttention(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    # from-scratch init overrides (reference transformer.py:925-940);
+    # None keeps flax's lecun_normal default
+    in_proj_init: Optional[Callable] = None
+    out_proj_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, *, kv: Optional[jnp.ndarray] = None,
@@ -320,9 +341,12 @@ class MultiHeadAttention(nn.Module):
         b, n, d = x.shape
         assert d == self.dim
         head_dim = self.dim // self.heads
+        in_proj_init = self.in_proj_init or nn.initializers.lecun_normal()
+        out_proj_init = self.out_proj_init or nn.initializers.lecun_normal()
         if kv is None:
             qkv = nn.Dense(
-                3 * self.dim, name="in_proj", dtype=self.dtype, param_dtype=self.param_dtype
+                3 * self.dim, name="in_proj", dtype=self.dtype,
+                param_dtype=self.param_dtype, kernel_init=in_proj_init,
             )(x)
             from ..ops.attention import resolve_impl
 
@@ -335,7 +359,7 @@ class MultiHeadAttention(nn.Module):
                 out = fused_mha_packed(qkv, self.heads, is_causal)
                 return nn.Dense(
                     self.dim, name="out_proj", dtype=self.dtype,
-                    param_dtype=self.param_dtype,
+                    param_dtype=self.param_dtype, kernel_init=out_proj_init,
                 )(out)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             m = n
@@ -344,11 +368,14 @@ class MultiHeadAttention(nn.Module):
             # with kdim/vdim uses q/k/v_proj_weight; names mirror that)
             m = kv.shape[1]
             q = nn.Dense(self.dim, name="q_proj", dtype=self.dtype,
-                         param_dtype=self.param_dtype)(x)
+                         param_dtype=self.param_dtype,
+                         kernel_init=in_proj_init)(x)
             k = nn.Dense(self.dim, name="k_proj", dtype=self.dtype,
-                         param_dtype=self.param_dtype)(kv)
+                         param_dtype=self.param_dtype,
+                         kernel_init=in_proj_init)(kv)
             v = nn.Dense(self.dim, name="v_proj", dtype=self.dtype,
-                         param_dtype=self.param_dtype)(kv)
+                         param_dtype=self.param_dtype,
+                         kernel_init=in_proj_init)(kv)
         q = q.reshape(b, n, self.heads, head_dim)
         k = k.reshape(b, m, self.heads, head_dim)
         v = v.reshape(b, m, self.heads, head_dim)
@@ -359,7 +386,8 @@ class MultiHeadAttention(nn.Module):
         )
         out = out.reshape(b, n, self.dim)
         out = nn.Dense(
-            self.dim, name="out_proj", dtype=self.dtype, param_dtype=self.param_dtype
+            self.dim, name="out_proj", dtype=self.dtype,
+            param_dtype=self.param_dtype, kernel_init=out_proj_init,
         )(out)
         return out
 
@@ -375,11 +403,29 @@ class ResidualAttentionBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
     mlp_remat: bool = False
     mlp_checkpoint_act: bool = False
+    # (attn_std, proj_std, fc_std) from-scratch init, or None for flax
+    # defaults — the reference text tower's depth-scaled normals
+    # (transformer.py:925-940)
+    init_stds: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None, is_causal: bool = False):
+        if self.init_stds is not None:
+            attn_std, proj_std, fc_std = self.init_stds
+            inits = dict(
+                in_proj_init=nn.initializers.normal(stddev=attn_std),
+                out_proj_init=nn.initializers.normal(stddev=proj_std),
+            )
+            mlp_inits = dict(
+                fc_init=nn.initializers.normal(stddev=fc_std),
+                proj_init=nn.initializers.normal(stddev=proj_std),
+            )
+        else:
+            inits = {}
+            mlp_inits = {}
         attn_out = MultiHeadAttention(
-            self.dim, self.heads, dtype=self.dtype, param_dtype=self.param_dtype, name="attn"
+            self.dim, self.heads, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="attn", **inits,
         )(LayerNorm(name="ln_1")(x), mask=mask, is_causal=is_causal)
         if self.ls_init_value is not None:
             attn_out = LayerScale(self.ls_init_value, name="ls_1")(attn_out)
@@ -392,7 +438,7 @@ class ResidualAttentionBlock(nn.Module):
         mlp_out = mlp_cls(
             self.dim, self.mlp_ratio, act=self.act, dtype=self.dtype,
             param_dtype=self.param_dtype, name="mlp",
-            checkpoint_act=self.mlp_checkpoint_act,
+            checkpoint_act=self.mlp_checkpoint_act, **mlp_inits,
         )(LayerNorm(name="ln_2")(x))
         if self.ls_init_value is not None:
             mlp_out = LayerScale(self.ls_init_value, name="ls_2")(mlp_out)
@@ -420,6 +466,11 @@ class Transformer(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     remat: Any = False
+    # depth-scaled normal block init (reference TextTransformer
+    # init_parameters, transformer.py:925-940): attn_std = width^-0.5,
+    # proj_std = width^-0.5 * (2*layers)^-0.5, fc_std = (2*width)^-0.5.
+    # Off by default (the reference's VISION tower keeps torch defaults).
+    scaled_init: bool = False
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None, is_causal: bool = False,
@@ -450,6 +501,13 @@ class Transformer(nn.Module):
         elif self.remat:
             # static_argnums counts self at index 0; is_causal (bool) is static.
             block_cls = nn.remat(ResidualAttentionBlock, static_argnums=(3,))
+        init_stds = None
+        if self.scaled_init:
+            init_stds = (
+                self.width ** -0.5,
+                (self.width ** -0.5) * ((2 * self.layers) ** -0.5),
+                (2 * self.width) ** -0.5,
+            )
         intermediates = []
         for i in range(self.layers):
             block = block_cls(
@@ -457,6 +515,7 @@ class Transformer(nn.Module):
                 ls_init_value=self.ls_init_value, act=self.act,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 mlp_remat=mlp_remat, mlp_checkpoint_act=mlp_checkpoint_act,
+                init_stds=init_stds,
                 name=f"resblocks_{i}",
             )
             x = block(x, mask, is_causal)

@@ -77,6 +77,10 @@ class TextTransformer(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             remat=self.remat,
+            # reference TextTransformer.init_parameters' depth-scaled
+            # normals (transformer.py:925-940) — from-scratch loss curves
+            # are only comparable with the same starting distribution
+            scaled_init=True,
             name="transformer",
         )(x, is_causal=not cfg.no_causal_mask)
 

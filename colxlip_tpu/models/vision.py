@@ -77,6 +77,14 @@ class VisionTransformer(nn.Module):
                 (n_pos, width), jnp.float32,
             )
         elif cfg.pos_embed_type == "sin_cos_2d":
+            if cfg.grid_size[0] != cfg.grid_size[1]:
+                # fail at construction like the reference
+                # (transformer.py:565) — the sincos table is built over a
+                # square grid; a silent gh*gh table would only surface as a
+                # distant broadcast error at `x + positional_embedding`
+                raise ValueError(
+                    "pos_embed_type='sin_cos_2d' needs a square patch grid; "
+                    f"got {cfg.grid_size}")
             positional_embedding = self.param(
                 "positional_embedding",
                 lambda key, shape, dtype: jnp.asarray(

@@ -262,3 +262,78 @@ def test_gelu_impl_env_selects_stock(monkeypatch):
     monkeypatch.delenv("COLXLIP_GELU_IMPL")
     fast = layers.gelu(x)
     np.testing.assert_allclose(np.asarray(stock), np.asarray(fast), atol=1e-5)
+
+
+def test_text_tower_scaled_init(tiny_cfg):
+    """Reference TextTransformer.init_parameters (transformer.py:925-940):
+    block Dense weights start from depth-scaled normals, not lecun_normal."""
+    import dataclasses
+
+    model = ColXLIP(tiny_cfg, dtype=jnp.float32)
+    img = jnp.zeros((1, 64, 64, 3))
+    txt = _text_batch(np.random.default_rng(0), 1, 32)
+    params = model.init(jax.random.PRNGKey(0), img, txt)["params"]
+    tcfg = tiny_cfg.text_cfg
+    width, layers = tcfg.width, tcfg.layers
+    blk = params["text"]["transformer"]["resblocks_0"]
+    got_attn = float(jnp.std(blk["attn"]["in_proj"]["kernel"]))
+    got_proj = float(jnp.std(blk["mlp"]["c_proj"]["kernel"]))
+    got_fc = float(jnp.std(blk["mlp"]["c_fc"]["kernel"]))
+    assert abs(got_attn - width ** -0.5) / (width ** -0.5) < 0.12
+    want_proj = (width ** -0.5) * ((2 * layers) ** -0.5)
+    assert abs(got_proj - want_proj) / want_proj < 0.12
+    want_fc = (2 * width) ** -0.5
+    assert abs(got_fc - want_fc) / want_fc < 0.12
+    # the VISION tower keeps flax defaults (the reference leaves its torch
+    # defaults in place): lecun_normal std = in_dim^-0.5 over c_fc
+    vblk = params["visual"]["transformer"]["resblocks_0"]
+    vw = tiny_cfg.vision_cfg.width
+    got_v = float(jnp.std(vblk["mlp"]["c_fc"]["kernel"]))
+    assert abs(got_v - vw ** -0.5) / (vw ** -0.5) < 0.12
+
+
+def test_eot_mask_only_under_argmax_pooling(tiny_cfg):
+    """Reference model.py:581-593 guards token zeroing on pool_type ==
+    'argmax'; other pool types keep all token features."""
+    import dataclasses
+
+    tcfg = dataclasses.replace(tiny_cfg.text_cfg, pool_type="last")
+    cfg = dataclasses.replace(tiny_cfg, text_cfg=tcfg)
+    model = ColXLIP(cfg, dtype=jnp.float32)
+    img = jnp.zeros((1, 64, 64, 3))
+    txt = _text_batch(np.random.default_rng(2), 2, 32)
+    params = model.init(jax.random.PRNGKey(0), img, txt)
+    _, tokens = model.apply(
+        params, text=txt,
+        method=lambda m, text: m.encode_text(text, normalize=False))
+    # position after the EOT would be zeroed pre-head under argmax masking;
+    # with pool_type='last' the head sees unmasked features everywhere, so
+    # no [B, L] row of the PRE-head input was zeroed: compare against the
+    # argmax-pooling model which does mask
+    model_argmax = ColXLIP(tiny_cfg, dtype=jnp.float32)
+    params_a = model_argmax.init(jax.random.PRNGKey(0), img, txt)
+    _, tokens_a = model_argmax.apply(
+        params_a, text=txt,
+        method=lambda m, text: m.encode_text(text, normalize=False))
+    assert not np.allclose(np.asarray(tokens), np.asarray(tokens_a))
+
+
+def test_gelu_env_typo_fails_loudly(monkeypatch):
+    from colxlip_tpu.models.layers import gelu
+
+    monkeypatch.setenv("COLXLIP_GELU_IMPL", "fast13")
+    with pytest.raises(ValueError, match="COLXLIP_GELU_IMPL"):
+        gelu(jnp.ones((4,)))
+
+
+def test_sincos_requires_square_grid(tiny_cfg):
+    import dataclasses
+
+    vcfg = dataclasses.replace(
+        tiny_cfg.vision_cfg, pos_embed_type="sin_cos_2d",
+        image_size=(64, 32))
+    cfg = dataclasses.replace(tiny_cfg, vision_cfg=vcfg)
+    model = ColXLIP(cfg, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="square"):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 32, 3)),
+                   _text_batch(np.random.default_rng(0), 1, 32))
