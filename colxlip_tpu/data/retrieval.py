@@ -108,7 +108,10 @@ def read_sharegpt4v_pairs(
     with open(json_name, encoding="utf8") as fp:
         data = json.loads(fp.read(), object_pairs_hook=collections.OrderedDict)[:total_len]
     out = []
-    for index in range(total_len):
+    # range(len(data)), not range(total_len): a JSON shorter than the nominal
+    # suite size must not IndexError (the reference crashes here,
+    # data.py:502-520 — layout parity does not require crash parity)
+    for index in range(len(data)):
         caption = data[index]["conversations"][1]["value"]
         rejoined = ". ".join(split_caption(caption))
         image_name = data[index]["image"]

@@ -20,6 +20,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .data.tokenizer import SimpleTokenizer
 from .data.transforms import (
@@ -115,8 +116,15 @@ def load_weights(
     from .training.checkpoint import load_native_checkpoint, load_pt_checkpoint
 
     if not os.path.exists(checkpoint_path):
-        from .pretrained import resolve_pretrained
+        from .pretrained import QUICK_GELU_TAGS, resolve_pretrained
 
+        if checkpoint_path in QUICK_GELU_TAGS and not cfg.quick_gelu:
+            logger.warning(
+                "pretrained tag %r was trained with QuickGELU but this model "
+                "config has quick_gelu=False — pass quick_gelu=True "
+                "(--force-quick-gelu) or activations will silently diverge "
+                "from the checkpoint's (reference factory.py:256-266)",
+                checkpoint_path)
         checkpoint_path = resolve_pretrained(model_name, checkpoint_path)
     params = init_params(model, cfg, seed)
     if checkpoint_path.endswith((".pt", ".pth", ".bin")):
@@ -127,10 +135,21 @@ def load_weights(
         )
         params = jax.tree.map(jnp.asarray, params)
     else:
+        from .training.checkpoint import _merge_trees, resize_vision_pos_embed
+
         restored = load_native_checkpoint(checkpoint_path)
         state = restored.get("state", restored)
         loaded = state.get("params", state)
-        params = jax.tree.map(jnp.asarray, loaded)
+        if "params" not in loaded:
+            loaded = {"params": loaded}
+        # same non-strict semantics as the .pt branch: resize the visual pos
+        # embed on image-size mismatch, and merge over the initialized tree
+        # so a plain-CLIP orbax checkpoint leaves colxlip token heads at init
+        if "visual" in loaded["params"]:
+            loaded = resize_vision_pos_embed(loaded, cfg.vision_cfg.grid_size)
+        merged = _merge_trees(
+            jax.tree.map(lambda x: np.asarray(x), params), loaded)
+        params = jax.tree.map(jnp.asarray, merged)
     return params
 
 

@@ -256,10 +256,10 @@ int cx_process_sample_impl(const uint8_t* jpeg, size_t len, float* out,
                            const float* mean, const float* stdv) {
   Image img;
   int min_w = out_w, min_h = out_h;
+  int w0 = 0, h0 = 0;  // original dims, parsed ONCE for the crop path
   if (crop_w > 0) {
     // need decoded res such that the crop region maps to >= out size:
     // decode scale s => crop_w*s >= out_w  => decoded_w >= orig_w*out_w/crop_w
-    int w0 = 0, h0 = 0;
     if (cx_jpeg_info(jpeg, len, &w0, &h0) != 0) return 1;
     min_w = static_cast<int>(
         std::ceil(static_cast<double>(w0) * out_w / crop_w));
@@ -271,8 +271,7 @@ int cx_process_sample_impl(const uint8_t* jpeg, size_t len, float* out,
   float cx0, cy0, cw, ch;
   if (crop_w > 0) {
     // crop box given in original coords; rescale to decoded coords
-    int w0 = 0, h0 = 0;
-    if (cx_jpeg_info(jpeg, len, &w0, &h0) != 0) return 1;
+    // (w0/h0 from the single header parse above)
     double sx = static_cast<double>(img.w) / w0;
     double sy = static_cast<double>(img.h) / h0;
     cx0 = static_cast<float>(crop_x * sx);

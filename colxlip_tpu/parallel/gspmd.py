@@ -55,6 +55,16 @@ def validate_gspmd_config(cfg: TrainStepConfig) -> None:
     if cfg.accum_freq > 1:
         bad.append("--accum-freq > 1 (cached-negative splicing is built on "
                    "the shard_map step)")
+    if not cfg.gather_with_grad:
+        # the GSPMD loss sees GLOBAL arrays: every negative carries gradient.
+        # The reference's default stop-gradient-gathered negatives
+        # (loss.py:80-90) are a per-rank notion only the explicit shard_map
+        # axis can express — refusing beats silently changing optimization
+        # semantics relative to the same flags on the dp step.
+        bad.append("--gather-with-grad off (the GSPMD step always "
+                   "differentiates through all gathered negatives; pass "
+                   "--gather-with-grad, or use data-parallel for "
+                   "stop-gradient semantics)")
     if bad:
         raise ValueError(
             "--model-parallel > 1 uses the GSPMD train step, which does not "

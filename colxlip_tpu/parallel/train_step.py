@@ -198,9 +198,13 @@ def make_train_step(
             out = forward(params, mb[0], mb[1])
             # cache every batch-dim output (the reference caches all model
             # outputs except the scalars, train.py:146-150) so coca logits/
-            # labels and distill features splice too
+            # labels and distill features splice too. Membership is decided
+            # by KEY, not shape alone: caption_head_kernel is [D, V] and a
+            # width-sized microbatch (b == D) would otherwise be spliced
             batched = {k: v for k, v in out.items()
-                       if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == b}
+                       if k not in _NON_BATCH_OUTPUTS
+                       and hasattr(v, "ndim") and v.ndim >= 1
+                       and v.shape[0] == b}
             scalars = {k: v for k, v in out.items() if k not in batched}
             return batched, scalars
 
@@ -273,9 +277,19 @@ def make_train_step(
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
+# model outputs that are parameters/scalars, never per-sample rows — the
+# grad-accum splice must not cache them even when a leading dim happens to
+# equal the microbatch size
+_NON_BATCH_OUTPUTS = frozenset(
+    {"logit_scale", "logit_bias", "dist_logit_scale", "caption_head_kernel"})
+
+
 def optax_global_norm(grads) -> jnp.ndarray:
-    leaves = jax.tree.leaves(grads)
-    return jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves))
+    # fp32-upcast wrapper over the optax primitive (bf16 squares underflow)
+    import optax
+
+    return optax.global_norm(
+        jax.tree.map(lambda g: g.astype(jnp.float32), grads))
 
 
 def init_train_state(model, tx, rng, example_images, example_texts) -> TrainState:

@@ -147,10 +147,13 @@ def save_checkpoint(
         tmp = path + ".tmp"
         ckptr.save(tmp, payload, force=True)
         backup = path + ".old"
-        os.rename(path, backup)
-        os.rename(tmp, path)
         import shutil
 
+        # a crash between the two renames leaves a stale .old dir; clear it
+        # or the next save's rename onto it raises ENOTEMPTY forever after
+        shutil.rmtree(backup, ignore_errors=True)
+        os.rename(path, backup)
+        os.rename(tmp, path)
         shutil.rmtree(backup, ignore_errors=True)
     else:
         ckptr.save(path, payload, force=True)

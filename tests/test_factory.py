@@ -87,3 +87,65 @@ def test_pretrained_registry():
     assert get_pretrained_url("ViT-B-32-colxlip", "laion400m_e32").startswith("https://")
     assert get_pretrained_url("ViT-B-16", "openai") is not None
     assert get_pretrained_url("ViT-B-16", "bogus") is None
+
+
+def test_orbax_load_nonstrict_and_resize(tmp_path):
+    """The orbax branch of load_weights mirrors the .pt branch: a plain-CLIP
+    checkpoint loads into a colxlip model keeping token heads at init, and a
+    224-trained pos embed interpolates to a forced image size."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from colxlip_tpu.factory import create_model, init_params, load_weights
+    from colxlip_tpu.training.checkpoint import save_checkpoint
+    from colxlip_tpu.parallel.train_step import TrainState
+
+    from colxlip_tpu.models import ColXLIP
+
+    _, cfg = create_model("ViT-S-16-test")
+    model = ColXLIP(cfg, dtype=jnp.float32)  # token heads present
+    params = init_params(model, cfg, seed=0)
+    state = TrainState(jnp.zeros((), jnp.int32), params, ())
+    path = save_checkpoint(str(tmp_path / "ck"), state, epoch=1, name="t")
+
+    # strip the token heads to fake a plain-CLIP checkpoint
+    import orbax.checkpoint as ocp
+    from colxlip_tpu.training.checkpoint import load_native_checkpoint
+
+    restored = load_native_checkpoint(path)
+    p = restored["state"]["params"]["params"]
+    p.pop("vision_token_layer", None)
+    p.pop("text_token_layer", None)
+    stripped = str(tmp_path / "stripped")
+    ocp.PyTreeCheckpointer().save(stripped, restored)
+
+    loaded = load_weights(model, cfg, stripped, seed=1)
+    # towers come from the checkpoint...
+    got = loaded["params"]["visual"]["transformer"]["resblocks_0"]["mlp"]["c_fc"]["kernel"]
+    want = params["params"]["visual"]["transformer"]["resblocks_0"]["mlp"]["c_fc"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # ...token heads stay at the (seed=1) init, not absent
+    assert "vision_token_layer" in loaded["params"]
+
+
+def test_save_most_recent_survives_stale_old_dir(tmp_path):
+    """A crash between the two renames leaves epoch_latest.old; the next
+    save must clear it instead of raising ENOTEMPTY forever after."""
+    import jax.numpy as jnp
+    import os
+
+    from colxlip_tpu.parallel.train_step import TrainState
+    from colxlip_tpu.training.checkpoint import save_checkpoint
+
+    state = TrainState(jnp.zeros((), jnp.int32),
+                       {"params": {"w": jnp.ones((2,))}}, ())
+    ckdir = str(tmp_path / "ck")
+    save_checkpoint(ckdir, state, epoch=1, name="t", most_recent=True)
+    # simulate the crash leftover
+    stale = os.path.join(ckdir, "epoch_latest.old")
+    os.makedirs(os.path.join(stale, "junk"))
+    with open(os.path.join(stale, "junk", "f"), "w") as f:
+        f.write("x")
+    save_checkpoint(ckdir, state, epoch=2, name="t", most_recent=True)
+    assert not os.path.exists(stale)

@@ -51,7 +51,8 @@ def test_partition_rules(setup):
 @pytest.mark.parametrize("model_parallel", [1, 4])
 def test_gspmd_step_matches_single_device(setup, model_parallel):
     model, tx, state, imgs, txts = setup
-    cfg = TrainStepConfig(loss_type="colclip", maxsim_impl="xla")
+    cfg = TrainStepConfig(loss_type="colclip", maxsim_impl="xla",
+                          gather_with_grad=True)
 
     s1, m1 = make_train_step(model, tx, cfg, donate=False)(state, imgs, txts)
 
@@ -71,7 +72,7 @@ def test_gspmd_step_matches_single_device(setup, model_parallel):
 @pytest.mark.slow
 def test_gspmd_loss_decreases_on_tp_mesh(setup):
     model, tx, state, imgs, txts = setup
-    cfg = TrainStepConfig(loss_type="clip")
+    cfg = TrainStepConfig(loss_type="clip", gather_with_grad=True)
     mesh = create_mesh(8, model_parallel=2)
     sharded, _ = shard_state(state, mesh)
     step = make_train_step_gspmd(model, tx, cfg, mesh, donate=False)

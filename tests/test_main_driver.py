@@ -112,7 +112,7 @@ def test_main_model_parallel(tmp_path):
     # dp-only: 8 devices x batch 2 = global 16, full-gather grad semantics
     dp = run("dp", 2, ["--gather-with-grad"])
     # tp=2 x dp=4: batch 4 x 4 data shards = the SAME global 16
-    mp = run("mp", 4, ["--model-parallel", "2"])
+    mp = run("mp", 4, ["--model-parallel", "2", "--gather-with-grad"])
     assert len(dp) == len(mp) == 4  # 64 samples / 16 global batch
     np.testing.assert_allclose(dp[0], mp[0], rtol=1e-4)
     np.testing.assert_allclose(dp, mp, rtol=5e-3)
@@ -136,6 +136,8 @@ def test_main_model_parallel_rejects_unshardable(tmp_path):
         "--local-loss",
     ]
     assert main(argv) == 1
+    # default stop-grad gather is inexpressible under GSPMD: must refuse
+    assert main(argv[:-1]) == 1
     argv[argv.index("--model-parallel") + 1] = "3"  # does not divide 8
     assert main(argv[:-1]) == 1
 
