@@ -185,7 +185,9 @@ class _DecodeTokenize:
                     img_arr = self._decode_native(sample, rng)
             if img_arr is None:
                 img = decode_image(sample)
-                img_arr = np.asarray(self.transform(img))
+                # thread the per-sample rng so the PIL fallback draws the
+                # same deterministic crop stream as the native path
+                img_arr = np.asarray(self.transform(img, rng=rng))
                 if img_arr.dtype != np.uint8:
                     img_arr = img_arr.astype(np.float32)
             if cfg.caption_key == "json":

@@ -117,8 +117,16 @@ def scrape_config(
         "image_size": image_size,
         "resize_mode": "keep_ratio",
     }
+    def fmt(v):
+        # list args (save_additional_columns — the recaption columns the
+        # diverse-sampling pipeline depends on) must not be dropped: emit
+        # them as a quoted JSON literal, which img2dataset parses
+        if isinstance(v, list):
+            return "'" + json.dumps(v) + "'"
+        return str(v)
+
     cfg["cli"] = "img2dataset " + " ".join(
-        f"--{k.replace('_', '-')}={v}" for k, v in cfg.items()
-        if k != "cli" and not isinstance(v, list)
+        f"--{k.replace('_', '-')}={fmt(v)}" for k, v in cfg.items()
+        if k != "cli"
     )
     return cfg

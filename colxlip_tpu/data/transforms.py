@@ -160,13 +160,19 @@ class ImageTransform:
         self.rng = random.Random(seed) if seed is not None else random
         self.normalize_on_device = normalize_on_device
 
-    def __call__(self, img: Image.Image) -> np.ndarray:
+    def __call__(self, img: Image.Image,
+                 rng: Optional[random.Random] = None) -> np.ndarray:
+        """``rng`` (per-sample) overrides the instance rng so deterministic
+        pipelines (grain's seeded per-sample Random) stay deterministic on
+        the PIL fallback path too, not just through the native decoder."""
         img = _to_rgb(img)
         hw = self.cfg.size_hw
         if self.is_train:
+            use_rng = rng if rng is not None else (
+                self.rng if self.rng is not random else None)
             img = random_resized_crop(
                 img, hw, scale=self.aug.scale, ratio=self.aug.ratio,
-                interpolation=self.interp, rng=self.rng if self.rng is not random else None,
+                interpolation=self.interp, rng=use_rng,
             )
         else:
             img = resize_shortest(img, min(hw), self.interp)

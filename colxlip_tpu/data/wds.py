@@ -448,7 +448,7 @@ class WdsTrainPipeline:
     def _process_sample(self, sample: Dict[str, bytes], rng: random.Random):
         cfg = self.cfg
         img = decode_image(sample)
-        img_arr = self.transform(img)
+        img_arr = self.transform(img, rng=rng)  # per-worker seeded crops
         texts = self._tokenize(sample, rng)
         return img_arr, texts
 

@@ -53,33 +53,51 @@ class MultimodalCfg:
 
 
 class CrossResidualBlock(nn.Module):
-    """Self-attn (causal) + cross-attn + MLP (transformer.py:1121-1160)."""
+    """Cross-attention residual block (reference transformer.py:213-268 with
+    ``is_cross_attention=True``): q = ln_1(x), k/v = ln_1_kv(visual), and
+    the block carries its OWN MLP after ln_2 — the decoder pairs one of
+    these with one self-attention block per layer (transformer.py:1189-1196),
+    NOT a fused self+cross+single-MLP layer."""
     dim: int
     heads: int
     mlp_ratio: float = 4.0
     act: Callable = gelu
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    init_stds: Optional[tuple] = None
 
     @nn.compact
-    def __call__(self, x, visual, mask=None):
+    def __call__(self, x, visual):
+        if self.init_stds is not None:
+            attn_std, proj_std, fc_std = self.init_stds
+            inits = dict(
+                in_proj_init=nn.initializers.normal(stddev=attn_std),
+                out_proj_init=nn.initializers.normal(stddev=proj_std),
+            )
+            mlp_inits = dict(
+                fc_init=nn.initializers.normal(stddev=fc_std),
+                proj_init=nn.initializers.normal(stddev=proj_std),
+            )
+        else:
+            inits, mlp_inits = {}, {}
+        kv = LayerNorm(name="ln_1_kv")(visual)
         x = x + MultiHeadAttention(
             self.dim, self.heads, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="attn",
-        )(LayerNorm(name="ln_1")(x), mask=mask, is_causal=mask is None)
-        x = x + MultiHeadAttention(
-            self.dim, self.heads, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="cross_attn",
-        )(LayerNorm(name="ln_1_kv")(x), kv=visual)
+            param_dtype=self.param_dtype, name="attn", **inits,
+        )(LayerNorm(name="ln_1")(x), kv=kv)
         x = x + MLP(
             self.dim, self.mlp_ratio, act=self.act, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="mlp",
+            param_dtype=self.param_dtype, name="mlp", **mlp_inits,
         )(LayerNorm(name="ln_2")(x))
         return x
 
 
 class MultimodalTransformer(nn.Module):
-    """Caption decoder over text tokens with image cross-attention."""
+    """Caption decoder: per layer one causal self-attention block THEN one
+    cross-attention block into the image tokens, each with its own MLP
+    (reference transformer.py:1104-1211 forward zips resblocks with
+    cross_attn). Both stacks get the reference's depth-scaled init
+    (init_parameters, :1148-1165)."""
     cfg: MultimodalCfg
     act: Callable = gelu
     dtype: Any = jnp.bfloat16
@@ -87,11 +105,25 @@ class MultimodalTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, text_embs: jnp.ndarray, image_embs: jnp.ndarray):
+        from .layers import ResidualAttentionBlock
+
+        width, layers = self.cfg.width, self.cfg.layers
+        stds = (
+            width ** -0.5,
+            (width ** -0.5) * ((2 * layers) ** -0.5),
+            (2 * width) ** -0.5,
+        )
         for i in range(self.cfg.layers):
-            text_embs = CrossResidualBlock(
-                self.cfg.width, self.cfg.heads, self.cfg.mlp_ratio,
+            text_embs = ResidualAttentionBlock(
+                width, self.cfg.heads, self.cfg.mlp_ratio,
+                ls_init_value=self.cfg.ls_init_value,
                 act=self.act, dtype=self.dtype, param_dtype=self.param_dtype,
-                name=f"resblocks_{i}",
+                init_stds=stds, name=f"resblocks_{i}",
+            )(text_embs, is_causal=True)
+            text_embs = CrossResidualBlock(
+                width, self.cfg.heads, self.cfg.mlp_ratio,
+                act=self.act, dtype=self.dtype, param_dtype=self.param_dtype,
+                init_stds=stds, name=f"cross_attn_{i}",
             )(text_embs, image_embs)
         return LayerNorm(name="ln_final")(text_embs)
 
@@ -134,18 +166,28 @@ class CoCaTextTower(nn.Module):
         seq = n + 1
         x = x + pos[:seq].astype(self.dtype)
 
-        # additive mask: causal + pad hiding (transformer.py:960-974)
+        # additive mask: causal everywhere; pad keys hidden ONLY from the
+        # appended-CLS query row (reference build_cls_mask,
+        # transformer.py:966-976: F.pad(cls_mask, (1, 0, n, 0), value=True)
+        # top-pads n all-True query rows — text-token queries attend pads
+        # purely causally — and LEFT-pads the key axis, so the CLS row's key
+        # mask is [True, text != pad] shifted one position; replicated
+        # exactly, shift included, for feature parity)
         causal = jnp.triu(jnp.full((seq, seq), -jnp.inf, jnp.float32), k=1)
-        pad_ok = jnp.concatenate(
-            [text != cfg.pad_id, jnp.ones((b, 1), bool)], axis=1
+        cls_key_ok = jnp.concatenate(
+            [jnp.ones((b, 1), bool), text != cfg.pad_id], axis=1
         )  # [b, seq]
-        pad_mask = jnp.where(pad_ok[:, None, :], 0.0, -jnp.inf)  # [b, 1(q), seq]
-        mask = causal[None, None] + pad_mask[:, None]  # [b, 1, seq, seq]
+        cls_row = jnp.where(cls_key_ok, 0.0, -jnp.inf)  # [b, seq]
+        rows = jnp.concatenate(
+            [jnp.zeros((b, n, seq), jnp.float32), cls_row[:, None, :]], axis=1
+        )  # [b, seq(q), seq(k)]
+        mask = causal[None, None] + rows[:, None]  # [b, 1, seq, seq]
 
         x = Transformer(
             width=width, layers=cfg.layers, heads=cfg.heads,
             mlp_ratio=cfg.mlp_ratio, ls_init_value=cfg.ls_init_value,
             act=self.act, dtype=self.dtype, param_dtype=self.param_dtype,
+            scaled_init=True,
             name="transformer",
         )(x, mask=mask)
 

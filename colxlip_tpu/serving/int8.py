@@ -171,7 +171,12 @@ def vision_encode_int8(cfg, qparams: Dict[str, Any], images: jnp.ndarray,
         x = x + _qdense(attn, blk["out_proj"])
         h = _layernorm(x, blk["ln_2"])
         h = _qdense(h, blk["c_fc"])
-        h = jax.nn.gelu(h, approximate=False)
+        if cfg.quick_gelu:
+            # QuickGELU checkpoints (OpenAI / laion400m tags) — silently
+            # serving erf-GELU here diverged far beyond quantization noise
+            h = h * jax.nn.sigmoid(1.702 * h)
+        else:
+            h = jax.nn.gelu(h, approximate=cfg.gelu_approximate)
         x = x + _qdense(h, blk["c_proj"])
 
     x = _layernorm(x, qparams["ln_post"])

@@ -69,9 +69,19 @@ def create_optimizer(
         p for p, on in (("visual", lock_image), ("text", lock_text)) if on
     )
     if frozen:
+        # mask the WHOLE chain, matching the reference's requires_grad=False
+        # exclusion: frozen grads must not inflate the global clip norm
+        # (masked-out leaves become MaskedNode, invisible to
+        # clip_by_global_norm), and Adam must not allocate mu/nu for the
+        # frozen tower (~2.4 GB of dead fp32 state for a locked ViT-L — the
+        # chip sits at the HBM cliff). optax.masked passes masked-out
+        # updates through UNCHANGED, so the frozen side still needs the
+        # explicit zero.
+        trainable = lambda params: freeze_mask(params, frozen)  # noqa: E731
         tx = optax.chain(
-            tx, optax.masked(optax.set_to_zero(),
-                             lambda params: jax.tree.map(
-                                 lambda x: not x, freeze_mask(params, frozen))),
+            optax.masked(tx, trainable),
+            optax.masked(optax.set_to_zero(),
+                         lambda params: jax.tree.map(
+                             lambda x: not x, trainable(params))),
         )
     return tx

@@ -17,36 +17,31 @@ import threading
 logger = logging.getLogger(__name__)
 
 
-def remote_sync_s3(local_dir: str, remote_dir: str) -> bool:
+def _s3_sync(src: str, dst: str, what: str) -> bool:
+    """One awscli sync in either direction (push and pull share one body so
+    fixes — e.g. raising the timeout for the ~14 MB/s relay — apply once)."""
     try:
         result = subprocess.run(
-            ["aws", "s3", "sync", local_dir, remote_dir, "--exact-timestamps"],
+            ["aws", "s3", "sync", src, dst, "--exact-timestamps"],
             capture_output=True, timeout=3600,
         )
     except (FileNotFoundError, subprocess.TimeoutExpired) as e:
-        logger.error("error syncing to s3: %s", e)
+        logger.error("error %s s3: %s", what, e)
         return False
     if result.returncode != 0:
         logger.error("error: %s", result.stderr.decode()[:500])
         return False
     return True
+
+
+def remote_sync_s3(local_dir: str, remote_dir: str) -> bool:
+    return _s3_sync(local_dir, remote_dir, "syncing to")
 
 
 def remote_sync_pull(remote_dir: str, local_dir: str) -> bool:
     """Fetch one remote checkpoint dir to local (resume-latest with
     --remote-sync: orbax restores from local paths only)."""
-    try:
-        result = subprocess.run(
-            ["aws", "s3", "sync", remote_dir, local_dir, "--exact-timestamps"],
-            capture_output=True, timeout=3600,
-        )
-    except (FileNotFoundError, subprocess.TimeoutExpired) as e:
-        logger.error("error fetching from s3: %s", e)
-        return False
-    if result.returncode != 0:
-        logger.error("error: %s", result.stderr.decode()[:500])
-        return False
-    return True
+    return _s3_sync(remote_dir, local_dir, "fetching from")
 
 
 def remote_sync_fsspec(local_dir: str, remote_dir: str) -> bool:

@@ -212,3 +212,39 @@ def test_distill_with_accum(setup):
     state, m = step(state, imgs, txts)
     assert np.isfinite(float(m["total_loss"]))
     assert np.isfinite(float(m["distill_loss"]))
+
+
+def test_locked_tower_excluded_from_opt_state_and_clip_norm():
+    """optax.masked over the whole chain (reference requires_grad=False
+    semantics): no Adam mu/nu allocated for the frozen tower, and frozen
+    grads don't inflate the global clip norm."""
+    import numpy as np
+    import optax
+
+    from colxlip_tpu.training.optim import create_optimizer
+
+    params = {"params": {
+        "visual": {"w": jnp.ones((4, 4))},
+        "text": {"w": jnp.ones((4, 4))},
+    }}
+    tx = create_optimizer(1.0, weight_decay=0.0, grad_clip_norm=1.0,
+                          lock_image=True)
+    state = tx.init(params)
+    # masked leaves carry MaskedNode (no mu/nu arrays) for the visual tower
+    leaves_with_path = jax.tree_util.tree_leaves_with_path(
+        state, is_leaf=lambda x: isinstance(x, optax.MaskedNode))
+    visual_nodes = [l for p, l in leaves_with_path
+                    if any("visual" in str(k) for k in p)]
+    assert visual_nodes and all(
+        isinstance(l, optax.MaskedNode) for l in visual_nodes)
+
+    # huge frozen grad must not shrink the trainable update via the clip
+    grads = {"params": {
+        "visual": {"w": jnp.full((4, 4), 1e6)},
+        "text": {"w": jnp.full((4, 4), 1e-3)},
+    }}
+    updates, _ = tx.update(grads, state, params)
+    vis_up = np.asarray(updates["params"]["visual"]["w"])
+    txt_up = np.asarray(updates["params"]["text"]["w"])
+    np.testing.assert_array_equal(vis_up, 0.0)   # frozen: zero update
+    assert np.abs(txt_up).max() > 1e-2           # not crushed by 1e6 norm
