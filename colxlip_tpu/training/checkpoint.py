@@ -314,6 +314,44 @@ def _convert_block_param(sub: str, value: np.ndarray):
     return m[sub]
 
 
+_BARE_RESBLOCK_RE = re.compile(r"^resblocks\.(\d+)\.(.+)$")
+_CROSSBLOCK_RE = re.compile(r"^cross_attn\.(\d+)\.(.+)$")
+
+
+def _convert_cross_block_param(sub: str, value: np.ndarray):
+    """Map one cross-attention block key to [(flax_subpath, array), ...].
+
+    torch MultiheadAttention packs q/k/v into in_proj even for cross
+    attention; the flax cross path uses separate q/k/v Dense layers
+    (models/layers.py), so the packed tensors split three ways here.
+    """
+    if sub in ("attn.in_proj_weight", "attn.in_proj_bias"):
+        d = value.shape[0] // 3
+        names = ("q_proj", "k_proj", "v_proj")
+        leaf = "kernel" if sub.endswith("weight") else "bias"
+        parts = [value[i * d:(i + 1) * d] for i in range(3)]
+        if leaf == "kernel":
+            parts = [p.T for p in parts]
+        return [(("attn", n, leaf), p) for n, p in zip(names, parts)]
+    m = {
+        "ln_1.weight": ("ln_1", "scale"), "ln_1.bias": ("ln_1", "bias"),
+        "ln_1_kv.weight": ("ln_1_kv", "scale"),
+        "ln_1_kv.bias": ("ln_1_kv", "bias"),
+        "ln_2.weight": ("ln_2", "scale"), "ln_2.bias": ("ln_2", "bias"),
+        "attn.out_proj.weight": ("attn", "out_proj", "kernel"),
+        "attn.out_proj.bias": ("attn", "out_proj", "bias"),
+        "mlp.c_fc.weight": ("mlp", "c_fc", "kernel"),
+        "mlp.c_fc.bias": ("mlp", "c_fc", "bias"),
+        "mlp.c_proj.weight": ("mlp", "c_proj", "kernel"),
+        "mlp.c_proj.bias": ("mlp", "c_proj", "bias"),
+    }
+    if sub not in m:
+        return None
+    path = m[sub]
+    v = value.T if path[-1] == "kernel" and sub != "attn.in_proj_weight" else value
+    return [(path, v)]
+
+
 def _convert_token_head(prefix: str, key: str, value: np.ndarray):
     """vision/text_token_layer Sequential(LN, Linear, GELU, LN) indices 0/1/3
     (reference model.py:518-530) -> ln_in / proj / ln_out."""
@@ -374,10 +412,41 @@ def convert_openclip_state_dict(
             conv = _convert_token_head(head, sub, v)
             if conv:
                 path, v = conv
+        elif key.startswith("text_decoder."):
+            # CoCa caption decoder (reference vendored MultimodalTransformer,
+            # transformer.py:1104-1211): self-attn resblocks + cross_attn
+            # blocks + ln_final + the width->vocab projection
+            k = key[len("text_decoder."):]
+            if k in ("ln_final.weight", "ln_final.bias"):
+                path = ("text_decoder", "ln_final",
+                        "scale" if k.endswith("weight") else "bias")
+            elif k == "text_projection":
+                # MultimodalTransformer.text_projection (width x output_dim)
+                # IS the vocab head in the CoCa wiring -> VocabHead kernel
+                path = ("to_logits", "kernel")
+            else:
+                m = _BARE_RESBLOCK_RE.match(k)
+                if m:
+                    conv = _convert_block_param(m.group(2), v)
+                    if conv:
+                        sub, v = conv
+                        path = ("text_decoder", f"resblocks_{m.group(1)}") + sub
+                else:
+                    m = _CROSSBLOCK_RE.match(k)
+                    if m:
+                        conv = _convert_cross_block_param(m.group(2), v)
+                        if conv is not None:
+                            for sub, vv in conv:
+                                _set(params, ("text_decoder",
+                                              f"cross_attn_{m.group(1)}") + sub,
+                                     np.asarray(vv, np.float32))
+                            continue
         else:
             # text side: accept both flat and 'text.'-prefixed layouts
             k = key[len("text."):] if key.startswith("text.") else key
-            if k == "token_embedding.weight":
+            if k == "cls_emb":
+                path = ("text", "cls_emb")
+            elif k == "token_embedding.weight":
                 path = ("text", "token_embedding", "embedding")
             elif k == "positional_embedding":
                 path = ("text", "positional_embedding")

@@ -140,3 +140,39 @@ def test_plain_clip_checkpoint_into_colxlip_keeps_token_heads(oracle_and_flax, t
     np.testing.assert_allclose(
         loaded["params"]["vision_token_layer"]["proj"]["kernel"], np.asarray(init_head)
     )
+
+
+def test_coca_decoder_import_and_parity():
+    """The rebuilt CoCa decoder is op-exact vs the reference's vendored
+    MultimodalTransformer (transformer.py:1104-1211): import a torch-oracle
+    decoder state dict through convert_openclip_state_dict and match outputs
+    (incl. the packed->split cross-attn in_proj surgery)."""
+    from torch_oracle import TorchMultimodalDecoder
+
+    from colxlip_tpu.models.coca import MultimodalCfg, MultimodalTransformer, VocabHead
+
+    width, layers, heads, ctx, vocab = 64, 2, 4, 8, 96
+    torch.manual_seed(0)
+    oracle = TorchMultimodalDecoder(width, layers, heads, ctx, vocab).eval()
+
+    sd = {f"text_decoder.{k}": v.detach().numpy()
+          for k, v in oracle.state_dict().items()}
+    converted = convert_openclip_state_dict(sd)["params"]
+
+    cfg = MultimodalCfg(context_length=ctx, width=width, heads=heads,
+                        layers=layers)
+    dec = MultimodalTransformer(cfg, dtype=jnp.float32)
+    head = VocabHead(in_features=width, vocab_size=vocab, dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    text_embs = rng.standard_normal((2, ctx, width)).astype(np.float32) * 0.2
+    image_embs = rng.standard_normal((2, 6, width)).astype(np.float32) * 0.2
+
+    dec_params = {"params": converted["text_decoder"]}
+    head_params = {"params": converted["to_logits"]}
+    got_hidden = dec.apply(dec_params, jnp.asarray(text_embs),
+                           jnp.asarray(image_embs))
+    got = head.apply(head_params, got_hidden)
+    want = oracle(torch.from_numpy(text_embs),
+                  torch.from_numpy(image_embs)).detach().numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)

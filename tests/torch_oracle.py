@@ -137,3 +137,51 @@ class TorchColXLIP(TorchCLIP):
             pooled = F.normalize(pooled, dim=-1)
             token_features = F.normalize(token_features, dim=-1)
         return pooled, token_features
+
+
+class CrossBlock(nn.Module):
+    """Reference ResidualAttentionBlock(is_cross_attention=True)
+    (transformer.py:213-268): q = ln_1(x), k/v = ln_1_kv(kv), own MLP."""
+
+    def __init__(self, d, heads):
+        super().__init__()
+        self.ln_1 = nn.LayerNorm(d)
+        self.ln_1_kv = nn.LayerNorm(d)
+        self.attn = nn.MultiheadAttention(d, heads, batch_first=True)
+        self.ln_2 = nn.LayerNorm(d)
+        self.mlp = nn.Sequential()
+        self.mlp.add_module("c_fc", nn.Linear(d, 4 * d))
+        self.mlp.add_module("gelu", nn.GELU())
+        self.mlp.add_module("c_proj", nn.Linear(4 * d, d))
+
+    def forward(self, x, kv):
+        k = self.ln_1_kv(kv)
+        x = x + self.attn(self.ln_1(x), k, k, need_weights=False)[0]
+        x = x + self.mlp(self.ln_2(x))
+        return x
+
+
+class TorchMultimodalDecoder(nn.Module):
+    """Reference MultimodalTransformer (transformer.py:1104-1211): per layer
+    one causal self-attn resblock zipped with one cross-attn block; ln_final;
+    text_projection = the width->output_dim head."""
+
+    def __init__(self, width, layers, heads, ctx, output_dim):
+        super().__init__()
+        self.resblocks = nn.ModuleList(
+            [Block(width, heads) for _ in range(layers)])
+        self.cross_attn = nn.ModuleList(
+            [CrossBlock(width, heads) for _ in range(layers)])
+        self.ln_final = nn.LayerNorm(width)
+        self.text_projection = nn.Parameter(
+            width ** -0.5 * torch.randn(width, output_dim))
+        mask = torch.full((ctx, ctx), float("-inf")).triu_(1)
+        self.register_buffer("attn_mask", mask, persistent=False)
+
+    def forward(self, text_embs, image_embs):
+        n = text_embs.shape[1]
+        x = text_embs
+        for blk, cross in zip(self.resblocks, self.cross_attn):
+            x = blk(x, attn_mask=self.attn_mask[:n, :n])
+            x = cross(x, image_embs)
+        return self.ln_final(x) @ self.text_projection
