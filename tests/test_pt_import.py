@@ -176,3 +176,41 @@ def test_coca_decoder_import_and_parity():
     want = oracle(torch.from_numpy(text_embs),
                   torch.from_numpy(image_embs)).detach().numpy()
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+def test_coca_text_tower_import_and_parity():
+    """The embed_cls text tower matches the reference semantics exactly —
+    incl. build_cls_mask's shifted key mask (transformer.py:966-976), pooling
+    'last', ln_final AFTER pooling, and tokens excluding the CLS without
+    ln_final — via a weight import from the torch oracle."""
+    from torch_oracle import TorchCoCaTextTower
+
+    from colxlip_tpu.models.coca import CoCaTextTower
+    from colxlip_tpu.models.configs import CLIPTextCfg
+
+    width, layers, heads, ctx, vocab, dim = 64, 2, 4, 12, 512, 48
+    torch.manual_seed(1)
+    oracle = TorchCoCaTextTower(width, layers, heads, ctx, vocab, dim).eval()
+    sd = {f"text.{k}": v.detach().numpy()
+          for k, v in oracle.state_dict().items()}
+    converted = convert_openclip_state_dict(sd)["params"]["text"]
+
+    cfg = CLIPTextCfg(context_length=ctx, vocab_size=vocab, width=width,
+                      heads=heads, layers=layers)
+    tower = CoCaTextTower(cfg, embed_dim=dim, dtype=jnp.float32)
+
+    txt = np.zeros((2, ctx), np.int32)
+    txt[0, 0] = 49406 % vocab
+    txt[0, 1:5] = 7
+    txt[0, 5] = 9
+    txt[1, 0] = 3
+    txt[1, 1:9] = 5  # different pad pattern
+    got_pooled, got_tokens = tower.apply(
+        {"params": converted}, jnp.asarray(txt))
+    want_pooled, want_tokens = oracle(torch.from_numpy(txt).long())
+    np.testing.assert_allclose(np.asarray(got_pooled),
+                               want_pooled.detach().numpy(),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_tokens),
+                               want_tokens.detach().numpy(),
+                               atol=2e-5, rtol=1e-4)

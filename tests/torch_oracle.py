@@ -185,3 +185,50 @@ class TorchMultimodalDecoder(nn.Module):
             x = blk(x, attn_mask=self.attn_mask[:n, :n])
             x = cross(x, image_embs)
         return self.ln_final(x) @ self.text_projection
+
+
+class TorchCoCaTextTower(nn.Module):
+    """Reference TextTransformer with embed_cls (transformer.py:960-1101):
+    CLS appended at the END, causal+cls additive mask (build_cls_mask with
+    its left-pad key shift), pooling 'last', ln_final AFTER pooling, tokens
+    exclude the CLS and skip ln_final."""
+
+    def __init__(self, width, layers, heads, ctx, vocab, embed_dim,
+                 pad_id=0):
+        super().__init__()
+        self.pad_id = pad_id
+        self.heads = heads
+        self.num_pos = ctx + 1
+        self.token_embedding = nn.Embedding(vocab, width)
+        nn.init.normal_(self.token_embedding.weight, std=0.02)
+        self.cls_emb = nn.Parameter(0.01 * torch.randn(width))
+        self.positional_embedding = nn.Parameter(
+            0.01 * torch.randn(self.num_pos, width))
+        self.transformer = TorchTransformer(width, layers, heads)
+        self.ln_final = nn.LayerNorm(width)
+        self.text_projection = nn.Parameter(
+            width ** -0.5 * torch.randn(width, embed_dim))
+        mask = torch.full((self.num_pos, self.num_pos), float("-inf")).triu_(1)
+        self.register_buffer("attn_mask", mask, persistent=False)
+
+    def build_cls_mask(self, text):
+        cls_mask = (text != self.pad_id).unsqueeze(1)
+        cls_mask = F.pad(cls_mask, (1, 0, cls_mask.shape[2], 0), value=True)
+        additive = torch.zeros(cls_mask.shape, dtype=torch.float32)
+        additive.masked_fill_(~cls_mask, float("-inf"))
+        return torch.repeat_interleave(additive, self.heads, 0)
+
+    def forward(self, text):
+        seq = text.shape[1] + 1
+        x = self.token_embedding(text)
+        x = torch.cat([x, self.cls_emb.expand(x.shape[0], 1, -1)], dim=1)
+        attn_mask = (self.attn_mask[None, :seq, :seq]
+                     + self.build_cls_mask(text)[:, :seq, :seq])
+        x = x + self.positional_embedding[:seq]
+        # nn.MultiheadAttention accepts [B*heads, L, L] additive masks
+        for b in self.transformer.resblocks:
+            x = b(x, attn_mask=attn_mask)
+        pooled = self.ln_final(x[:, -1])
+        tokens = x[:, :-1]
+        pooled = pooled @ self.text_projection
+        return pooled, tokens
