@@ -97,11 +97,14 @@ class MultimodalTransformer(nn.Module):
     cross-attention block into the image tokens, each with its own MLP
     (reference transformer.py:1104-1211 forward zips resblocks with
     cross_attn). Both stacks get the reference's depth-scaled init
-    (init_parameters, :1148-1165)."""
+    (init_parameters, :1148-1165). ``remat`` checkpoints each block pair —
+    the reference's set_grad_checkpointing on the multimodal transformer
+    (transformer.py:1208-1211)."""
     cfg: MultimodalCfg
     act: Callable = gelu
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    remat: Any = False
 
     @nn.compact
     def __call__(self, text_embs: jnp.ndarray, image_embs: jnp.ndarray):
@@ -113,14 +116,19 @@ class MultimodalTransformer(nn.Module):
             (width ** -0.5) * ((2 * layers) ** -0.5),
             (2 * width) ** -0.5,
         )
+        self_cls = ResidualAttentionBlock
+        cross_cls = CrossResidualBlock
+        if self.remat is True or self.remat == "full":
+            self_cls = nn.remat(ResidualAttentionBlock, static_argnums=(3,))
+            cross_cls = nn.remat(CrossResidualBlock)
         for i in range(self.cfg.layers):
-            text_embs = ResidualAttentionBlock(
+            text_embs = self_cls(
                 width, self.cfg.heads, self.cfg.mlp_ratio,
                 ls_init_value=self.cfg.ls_init_value,
                 act=self.act, dtype=self.dtype, param_dtype=self.param_dtype,
                 init_stds=stds, name=f"resblocks_{i}",
-            )(text_embs, is_causal=True)
-            text_embs = CrossResidualBlock(
+            )(text_embs, None, True)
+            text_embs = cross_cls(
                 width, self.cfg.heads, self.cfg.mlp_ratio,
                 act=self.act, dtype=self.dtype, param_dtype=self.param_dtype,
                 init_stds=stds, name=f"cross_attn_{i}",
@@ -140,6 +148,7 @@ class CoCaTextTower(nn.Module):
     act: Callable = gelu
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    remat: Any = False
 
     @nn.compact
     def __call__(self, text: jnp.ndarray):
@@ -187,7 +196,7 @@ class CoCaTextTower(nn.Module):
             width=width, layers=cfg.layers, heads=cfg.heads,
             mlp_ratio=cfg.mlp_ratio, ls_init_value=cfg.ls_init_value,
             act=self.act, dtype=self.dtype, param_dtype=self.param_dtype,
-            scaled_init=True,
+            scaled_init=True, remat=self.remat,
             name="transformer",
         )(x, mask=mask)
 
@@ -254,11 +263,13 @@ class CoCa(nn.Module):
         )
         self.text = CoCaTextTower(
             self.cfg.text_cfg, embed_dim=self.cfg.embed_dim, act=act,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="text",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            remat=self.remat, name="text",
         )
         self.text_decoder = MultimodalTransformer(
             self.multimodal_cfg, act=act, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="text_decoder",
+            param_dtype=self.param_dtype, remat=self.remat,
+            name="text_decoder",
         )
         self.logit_scale = self.param(
             "logit_scale", nn.initializers.constant(self.cfg.init_logit_scale),

@@ -178,3 +178,28 @@ def test_cls_mask_matches_reference_rows(coca_setup):
         params, txt3, method=lambda m, t: m.encode_text(t, normalize=False))
     assert not np.allclose(np.asarray(tokens1[:, 3:5]),
                            np.asarray(tokens3[:, 3:5]))
+
+
+def test_coca_grad_checkpointing_matches(coca_setup):
+    """remat=True (the reference's set_grad_checkpointing on text tower and
+    multimodal decoder) must not change values or gradients."""
+    model, params, img, txt, cfg = coca_setup
+    from colxlip_tpu.models.coca import CoCa, MultimodalCfg
+
+    model_r = CoCa(cfg, MultimodalCfg(context_length=CTX - 1, width=128,
+                                      heads=4, layers=2),
+                   dtype=jnp.float32, remat=True)
+
+    def loss_fn(m):
+        def f(p):
+            out = m.apply(p, img, txt)
+            return (jnp.mean(out["logits"].astype(jnp.float32) ** 2)
+                    + jnp.mean(out["text_features"] ** 2))
+        return f
+
+    v1, g1 = jax.value_and_grad(loss_fn(model))(params)
+    v2, g2 = jax.value_and_grad(loss_fn(model_r))(params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
