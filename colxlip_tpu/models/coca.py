@@ -292,6 +292,21 @@ class CoCa(nn.Module):
         pooled, tokens = self.text(text)
         return (l2_normalize(pooled) if normalize else pooled), tokens
 
+    def embed_images(self, image):
+        """Attn-pooled image token set the caption decoder conditions on —
+        computed ONCE per image for autoregressive decoding
+        (serving/generate.py)."""
+        _, image_tokens = self.encode_image(image)
+        return self.img_attn_pool(image_tokens)
+
+    def caption_logits(self, text, image_embs):
+        """[B, L-1, vocab] next-token logits for a (possibly padded) token
+        prefix against precomputed image embeddings. Row t predicts token
+        t+1; causal masking makes rows independent of later (pad) content."""
+        _, text_tokens = self.encode_text(text)
+        dec = self.text_decoder(text_tokens[:, :-1], image_embs)
+        return self.to_logits(dec)
+
     def __call__(self, image, text, train: bool = False):
         image_features, image_tokens = self.encode_image(image)
         # caption path conditions on the attn-pooled image token set

@@ -1,0 +1,107 @@
+"""Autoregressive caption generation for CoCa (TPU-native decode loop).
+
+The reference inherits ``CoCa.generate`` from the installed open_clip
+package (its repo never calls it, but the model family's user-facing
+captioning surface is this function). Rebuilt TPU-first:
+
+  - ONE jitted function containing a ``lax.fori_loop`` over decode steps —
+    fixed shapes throughout (the token buffer is the full context length,
+    pads after the cursor), so XLA compiles a single program per
+    (batch, method) instead of retracing per step or per prompt length.
+  - The image conditioning (``CoCa.embed_images``) is computed once outside
+    the loop; each step re-runs only the text tower + decoder on the fixed
+    buffer. At context 76 this recompute is tiny next to the image tower,
+    and it needs no KV-cache state threading (static shapes, zero dynamic
+    allocation — the XLA-friendly tradeoff).
+  - Causality makes the cursor's logits independent of the pad tail (the
+    decoder and text tower are strictly causal for token rows), so writing
+    into a fixed buffer is exact, not approximate.
+
+Sampling: 'greedy' (argmax) or 'top_k' (temperature + top-k renormalized
+categorical, open_clip generate's default knobs).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SOT = 49406
+EOT = 49407
+
+
+# flax modules aren't hashable, so jit closes over the model; one compiled
+# program per (model instance, decode config) cached here
+_JIT_CACHE: dict = {}
+
+
+def _get_decode_fn(model, max_len: int, method: str, top_k: int):
+    key = (id(model), max_len, method, top_k)
+    fn = _JIT_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    @jax.jit
+    def decode(params, images, rng, temperature):
+        image_embs = model.apply(
+            params, images, method=type(model).embed_images)
+        b = images.shape[0]
+        ctx = model.cfg.text_cfg.context_length
+        tokens = jnp.zeros((b, ctx), jnp.int32).at[:, 0].set(SOT)
+        done = jnp.zeros((b,), bool)
+
+        def body(t, carry):
+            tokens, done = carry
+            logits = model.apply(
+                params, tokens, image_embs, method=type(model).caption_logits
+            )[:, t - 1].astype(jnp.float32)  # row t-1 predicts token t
+            if method == "greedy":
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:  # top_k sampling
+                vals, idx = jax.lax.top_k(logits / temperature, top_k)
+                step_rng = jax.random.fold_in(rng, t)
+                choice = jax.random.categorical(step_rng, vals, axis=-1)
+                nxt = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+                nxt = nxt.astype(jnp.int32)
+            nxt = jnp.where(done, 0, nxt)  # pad after EOT
+            tokens = jax.lax.dynamic_update_slice_in_dim(
+                tokens, nxt[:, None], t, axis=1)
+            done = done | (nxt == EOT)
+            return tokens, done
+
+        tokens, _ = jax.lax.fori_loop(1, max_len, body, (tokens, done))
+        return tokens
+
+    _JIT_CACHE[key] = decode
+    return decode
+
+
+def generate_captions(model, params, images, *, max_len: Optional[int] = None,
+                      method: str = "greedy", top_k: int = 50,
+                      temperature: float = 1.0,
+                      rng: Optional[jax.Array] = None) -> np.ndarray:
+    """images [B, H, W, 3] -> token ids [B, context_length] (SOT ... EOT 0*).
+
+    method: 'greedy' | 'top_k'. One compile per (model, batch shape, method,
+    max_len); decode steps run inside the compiled program.
+    """
+    if method not in ("greedy", "top_k"):
+        raise ValueError(f"unknown decode method: {method!r}")
+    ctx = model.cfg.text_cfg.context_length
+    max_len = ctx if max_len is None else min(max_len, ctx)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    fn = _get_decode_fn(model, max_len, method, top_k)
+    return np.asarray(fn(params, jnp.asarray(images), rng,
+                         jnp.float32(temperature)))
+
+
+def tokens_to_text(tokens: np.ndarray, tokenizer) -> list:
+    """Strip SOT/EOT/pad and decode each row with the BPE tokenizer."""
+    out = []
+    for row in np.asarray(tokens):
+        ids = [int(t) for t in row if int(t) not in (SOT, EOT, 0)]
+        out.append(tokenizer.decode(ids).strip())
+    return out

@@ -203,3 +203,51 @@ def test_coca_grad_checkpointing_matches(coca_setup):
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_generate_captions(coca_setup):
+    """Greedy decode: deterministic, SOT first, pads after the first EOT,
+    and step-1 equals the argmax of caption_logits computed directly."""
+    from colxlip_tpu.serving.generate import EOT, SOT, generate_captions
+
+    model, params, img, txt, cfg = coca_setup
+    toks = generate_captions(model, params, img, max_len=8)
+    assert toks.shape == (2, CTX)
+    assert (toks[:, 0] == SOT).all()
+    toks2 = generate_captions(model, params, img, max_len=8)
+    np.testing.assert_array_equal(toks, toks2)  # greedy is deterministic
+    # everything after the first EOT is pad
+    for row in toks:
+        hits = np.where(row == EOT)[0]
+        if hits.size:
+            assert (row[hits[0] + 1:] == 0).all()
+    assert (toks[:, 8:] == 0).all()  # max_len cutoff
+
+    # one-step consistency with the raw logits
+    buf = np.zeros((2, CTX), np.int32)
+    buf[:, 0] = SOT
+    logits = model.apply(params, jnp.asarray(buf), model.apply(
+        params, img, method=type(model).embed_images),
+        method=type(model).caption_logits)
+    want_first = np.argmax(np.asarray(logits[:, 0], np.float32), axis=-1)
+    np.testing.assert_array_equal(toks[:, 1], want_first)
+
+    # top-k sampling runs and differs across seeds (statistically)
+    s1 = generate_captions(model, params, img, max_len=8, method="top_k",
+                           top_k=20, temperature=2.0,
+                           rng=jax.random.PRNGKey(1))
+    s2 = generate_captions(model, params, img, max_len=8, method="top_k",
+                           top_k=20, temperature=2.0,
+                           rng=jax.random.PRNGKey(2))
+    assert s1.shape == toks.shape
+    assert not np.array_equal(s1, s2)
+
+
+def test_tokens_to_text_roundtrip():
+    from colxlip_tpu.data.tokenizer import SimpleTokenizer
+    from colxlip_tpu.serving.generate import tokens_to_text
+
+    tok = SimpleTokenizer(context_length=16)
+    ids = tok(["a dog on grass"])
+    [text] = tokens_to_text(ids, tok)
+    assert "dog" in text
