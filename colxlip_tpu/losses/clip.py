@@ -97,7 +97,10 @@ def clip_loss(
     batches. Dense mode reproduces the reference exactly (incl. logit_bias).
     """
     if ce_impl == "fused":
-        assert logit_bias is None, "fused CE path does not support logit_bias"
+        if logit_bias is not None:  # not an assert: python -O must not
+            # silently drop the bias from the loss
+            raise ValueError("fused CE path does not support logit_bias; "
+                             "use the dense path for biased logits")
         from ..ops.fused_ce import fused_contrastive_ce
 
         if axis_name is not None:

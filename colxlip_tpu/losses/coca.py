@@ -56,7 +56,8 @@ def coca_loss(
         )
     else:
         contrastive = jnp.zeros((), jnp.float32)
-    if ce_impl == "fused" and caption_hidden is not None:
+    if (ce_impl == "fused" and caption_hidden is not None
+            and caption_head_kernel is not None):
         from ..ops.vocab_ce import streaming_vocab_ce
 
         caption = caption_loss_weight * streaming_vocab_ce(

@@ -95,6 +95,10 @@ def _fwd_call(x2d, scale, bias, eps, block_r, interpret):
     br = block_r or _pick_block_r(r, d, x2d.dtype.itemsize)
     if not br:
         raise ValueError(f"fused LN unsupported for rows={r} (see _pick_block_r)")
+    if r % br:
+        raise ValueError(
+            f"block_r={br} does not divide rows {r}: the truncated grid "
+            "would leave trailing rows uninitialized")
     return pl.pallas_call(
         functools.partial(_fwd_kernel, eps=eps),
         grid=(r // br,),
@@ -124,6 +128,10 @@ def _bwd_call(x2d, scale, dout2d, eps, block_r, interpret):
     br = block_r or _pick_block_r(r, d, x2d.dtype.itemsize)
     if not br:
         raise ValueError(f"fused LN unsupported for rows={r} (see _pick_block_r)")
+    if r % br:
+        raise ValueError(
+            f"block_r={br} does not divide rows {r}: the truncated grid "
+            "would leave trailing gradient rows uninitialized")
     return pl.pallas_call(
         functools.partial(_bwd_kernel, eps=eps),
         grid=(r // br,),

@@ -248,6 +248,10 @@ def _fwd_call(x, w1, b1, w2, b2, approximate, block_b, interpret):
     b, n, d = x.shape
     h = w1.shape[1]
     bb = block_b or _pick_block_b(b)
+    if b % bb:
+        raise ValueError(
+            f"block_b={bb} does not divide batch {b}: the truncated grid "
+            "would leave trailing output rows uninitialized")
     kernel = functools.partial(_fwd_kernel, approximate=approximate)
     return pl.pallas_call(
         kernel,
@@ -278,6 +282,10 @@ def _bwd_call(x, w1, b1, w2, dout, approximate, block_b, interpret):
     b, n, d = x.shape
     h = w1.shape[1]
     bb = block_b or _pick_block_b(b)
+    if b % bb:
+        raise ValueError(
+            f"block_b={bb} does not divide batch {b}: the truncated grid "
+            "would leave trailing gradient rows uninitialized")
     kernel = functools.partial(_bwd_kernel, approximate=approximate)
     return pl.pallas_call(
         kernel,
@@ -326,15 +334,17 @@ def fused_mlp(x, w1, b1, w2, b2, approximate: bool = False,
 
 def _vjp_fwd(x, w1, b1, w2, b2, approximate, block_b, interpret):
     out = _fwd_call(x, w1, b1, w2, b2, approximate, block_b, interpret)
-    return out, (x, w1, b1, w2)
+    # zero-size marker carries b2's dtype (custom_vjp residuals must be JAX
+    # types; db2 must come back in b2's dtype, not b1's)
+    return out, (x, w1, b1, w2, jnp.zeros((0,), b2.dtype))
 
 
 def _vjp_bwd(approximate, block_b, interpret, res, dout):
-    x, w1, b1, w2 = res
+    x, w1, b1, w2, b2_marker = res
     dx, dw1, db1, dw2, db2 = _bwd_call(
         x, w1, b1, w2, dout, approximate, block_b, interpret)
     return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
-            dw2.astype(w2.dtype), db2.astype(b1.dtype))
+            dw2.astype(w2.dtype), db2.astype(b2_marker.dtype))
 
 
 fused_mlp.defvjp(_vjp_fwd, _vjp_bwd)

@@ -32,7 +32,10 @@ def dequantize_int8(q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.bfloat16):
 
 
 def _quant_kernel(x_ref, seed_ref, values_ref, scales_ref):
-    pltpu.prng_seed(seed_ref[0])
+    # mix the grid position into the seed: one scalar seed for every column
+    # block would repeat the identical noise pattern per block, correlating
+    # the rounding of element (i, j) with (i, j + block_n)
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     x = x_ref[...].astype(jnp.float32)
     amax = jnp.max(jnp.abs(x), axis=0, keepdims=True)
     scale = jnp.maximum(amax / 127.0, 1e-8)
@@ -57,8 +60,11 @@ def quantize_int8_pallas(
     the VMEM working set is [K, block_n] (+ temporaries) regardless of N —
     a whole ViT-L MLP kernel would otherwise blow the 16MB scoped limit.
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    if interpret is None and jax.default_backend() != "tpu":
+        # pltpu.prng_seed has no CPU interpret lowering in this jax version;
+        # the XLA path is the supported off-TPU implementation
+        return quantize_int8_xla(w)
+    interpret = bool(interpret)
     k, n = w.shape
     bn = min(block_n, n)
     n_pad = ((n + bn - 1) // bn) * bn

@@ -18,12 +18,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import DATA_AXIS
 
 
-def local_batch_size(per_device_batch: int) -> int:
-    return per_device_batch * jax.local_device_count()
-
-
-def global_batch_size(per_device_batch: int) -> int:
-    return per_device_batch * jax.device_count()
+def global_batch_size(per_device_batch: int, model_parallel: int = 1) -> int:
+    """Global batch for a per-DATA-GROUP batch: with model parallelism each
+    group of ``model_parallel`` chips shares one batch shard, so the batch
+    scales with the data-axis size, NOT the chip count (main.py:295-303 —
+    a 'model'-replicating mesh must not inflate the batch)."""
+    return per_device_batch * (jax.device_count() // model_parallel)
 
 
 class DeviceFeeder:

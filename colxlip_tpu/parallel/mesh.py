@@ -28,6 +28,11 @@ def create_mesh(
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"create_mesh: asked for {n_devices} devices but only "
+                f"{len(devices)} are available — a silently smaller mesh "
+                "would skew batch/sharding assumptions")
         devices = devices[:n_devices]
     n = len(devices)
     if model_parallel > 1:

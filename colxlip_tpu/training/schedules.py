@@ -47,9 +47,17 @@ def const_lr_cooldown(
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
         start_cooldown = steps - cooldown_steps
-        e = step - start_cooldown
-        decay = (1 - e / cooldown_steps) ** cooldown_power
+        # decay clamped at 0 so a run past total_steps holds end_lr instead
+        # of going NEGATIVE (the reference scheduler's latent landmine when
+        # steps_per_epoch underestimates the pipeline length)
+        e = jnp.maximum(step - start_cooldown, 0.0)
+        decay = jnp.maximum(1 - e / cooldown_steps, 0.0) ** cooldown_power
         cooled = decay * (base_lr - cooldown_end_lr) + cooldown_end_lr
-        out = jnp.where(step < warmup_length, _warmup(step, base_lr, warmup_length), base_lr)
-        return jnp.where(step >= start_cooldown, cooled, out)
+        out = jnp.where(step >= start_cooldown, cooled, base_lr)
+        # warmup FIRST, like the reference (open_clip const_lr_cooldown
+        # checks `step < warmup_length` before the cooldown window) — a
+        # config with steps - cooldown_steps < warmup_length must warm up,
+        # not start cooling from step 0
+        return jnp.where(step < warmup_length,
+                         _warmup(step, base_lr, warmup_length), out)
     return schedule

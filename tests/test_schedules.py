@@ -26,3 +26,19 @@ def test_const_cooldown():
     np.testing.assert_allclose(float(s(50)), 1e-3, rtol=1e-6)   # plateau
     assert float(s(90)) < 1e-3                                   # cooling
     np.testing.assert_allclose(float(s(100)), 1e-5, rtol=1e-4)  # end lr
+
+
+def test_const_cooldown_warmup_precedence_and_no_negative_lr():
+    """Reference open_clip const_lr_cooldown checks warmup FIRST; and a run
+    past total_steps must hold end_lr, not go negative."""
+    import numpy as np
+
+    from colxlip_tpu.training.schedules import const_lr_cooldown
+
+    s = const_lr_cooldown(1e-3, warmup_length=90, steps=100,
+                          cooldown_steps=50)
+    # step 60 is inside both windows: warmup wins (reference order)
+    assert abs(float(s(60)) - (61 / 90) * 1e-3) < 1e-9
+    # past the end: clamped at the cooldown floor, never negative
+    assert float(s(105)) >= 0.0
+    assert float(s(1000)) >= 0.0
