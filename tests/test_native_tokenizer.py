@@ -152,3 +152,22 @@ def test_freed_handle_errors_and_del_is_safe(merges_file):
         native.bpe_encode_batch(handle, [b"a dog"], 16)
     tok._native_handle = None  # freed manually; keep __del__ from re-freeing
     del tok  # __del__ must not raise
+
+
+def test_fuzz_random_ascii_parity(merges_file):
+    """Property test: the C++ core is byte-identical to the Python path on
+    arbitrary printable-ASCII strings (random lengths, runs of punctuation,
+    digits, contractions, whitespace mixes)."""
+    import random as _r
+
+    rng = _r.Random(7)
+    alphabet = ("abcdefghijklmnopqrstuvwxyz"
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+                " \t\n.,!?'-:;()[]{}\"/@#$%^*_+=~`|\\")
+    texts = ["".join(rng.choice(alphabet)
+                     for _ in range(rng.randrange(0, 120)))
+             for _ in range(300)]
+    tok = SimpleTokenizer(bpe_path=merges_file, context_length=32)
+    got = tok(texts)
+    want = _python_rows(tok, texts, 32)
+    np.testing.assert_array_equal(got, want)
