@@ -17,8 +17,8 @@ captioning surface is this function). Rebuilt TPU-first:
     decoder and text tower are strictly causal for token rows), so writing
     into a fixed buffer is exact, not approximate.
 
-Sampling: 'greedy' (argmax) or 'top_k' (temperature + top-k renormalized
-categorical, open_clip generate's default knobs).
+Sampling: 'greedy' (argmax), 'top_k' (temperature + top-k renormalized
+categorical) or 'top_p' (nucleus) — open_clip generate's knobs.
 """
 from __future__ import annotations
 
@@ -44,7 +44,7 @@ def _get_decode_fn(model, max_len: int, method: str, top_k: int):
         return fn
 
     @jax.jit
-    def decode(params, images, rng, temperature):
+    def decode(params, images, rng, temperature, top_p):
         image_embs = model.apply(
             params, images, method=type(model).embed_images)
         b = images.shape[0]
@@ -59,6 +59,19 @@ def _get_decode_fn(model, max_len: int, method: str, top_k: int):
             )[:, t - 1].astype(jnp.float32)  # row t-1 predicts token t
             if method == "greedy":
                 nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            elif method == "top_p":
+                # nucleus sampling over the top_k largest logits (k bounds
+                # the sort cost; beyond-k mass is negligible for real p):
+                # keep the smallest prefix whose cumulative prob >= p
+                vals, idx = jax.lax.top_k(logits / temperature, top_k)
+                probs = jax.nn.softmax(vals, axis=-1)
+                cum = jnp.cumsum(probs, axis=-1)
+                keep = cum - probs < top_p  # first token always kept
+                vals = jnp.where(keep, vals, -jnp.inf)
+                step_rng = jax.random.fold_in(rng, t)
+                choice = jax.random.categorical(step_rng, vals, axis=-1)
+                nxt = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+                nxt = nxt.astype(jnp.int32)
             else:  # top_k sampling
                 vals, idx = jax.lax.top_k(logits / temperature, top_k)
                 step_rng = jax.random.fold_in(rng, t)
@@ -80,14 +93,15 @@ def _get_decode_fn(model, max_len: int, method: str, top_k: int):
 
 def generate_captions(model, params, images, *, max_len: Optional[int] = None,
                       method: str = "greedy", top_k: int = 50,
-                      temperature: float = 1.0,
+                      top_p: float = 0.9, temperature: float = 1.0,
                       rng: Optional[jax.Array] = None) -> np.ndarray:
     """images [B, H, W, 3] -> token ids [B, context_length] (SOT ... EOT 0*).
 
-    method: 'greedy' | 'top_k'. One compile per (model, batch shape, method,
-    max_len); decode steps run inside the compiled program.
+    method: 'greedy' | 'top_k' | 'top_p' (nucleus over the top_k logits).
+    One compile per (model, batch shape, method, max_len); decode steps run
+    inside the compiled program.
     """
-    if method not in ("greedy", "top_k"):
+    if method not in ("greedy", "top_k", "top_p"):
         raise ValueError(f"unknown decode method: {method!r}")
     ctx = model.cfg.text_cfg.context_length
     max_len = ctx if max_len is None else min(max_len, ctx)
@@ -95,7 +109,7 @@ def generate_captions(model, params, images, *, max_len: Optional[int] = None,
         rng = jax.random.PRNGKey(0)
     fn = _get_decode_fn(model, max_len, method, top_k)
     return np.asarray(fn(params, jnp.asarray(images), rng,
-                         jnp.float32(temperature)))
+                         jnp.float32(temperature), jnp.float32(top_p)))
 
 
 def tokens_to_text(tokens: np.ndarray, tokenizer) -> list:

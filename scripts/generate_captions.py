@@ -21,8 +21,10 @@ def main():
     p.add_argument("--checkpoint", default=None,
                    help=".pt or orbax checkpoint; random init if omitted")
     p.add_argument("--images", nargs="+", required=True)
-    p.add_argument("--method", default="greedy", choices=["greedy", "top_k"])
+    p.add_argument("--method", default="greedy",
+                   choices=["greedy", "top_k", "top_p"])
     p.add_argument("--top-k", type=int, default=50)
+    p.add_argument("--top-p", type=float, default=0.9)
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--max-len", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -56,7 +58,7 @@ def main():
 
     tokens = generate_captions(
         model, params, batch, max_len=args.max_len, method=args.method,
-        top_k=args.top_k, temperature=args.temperature,
+        top_k=args.top_k, top_p=args.top_p, temperature=args.temperature,
         rng=jax.random.PRNGKey(args.seed))
     tok = SimpleTokenizer(context_length=cfg.text_cfg.context_length)
     for path, caption in zip(args.images, tokens_to_text(tokens, tok)):

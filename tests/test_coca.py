@@ -251,3 +251,19 @@ def test_tokens_to_text_roundtrip():
     ids = tok(["a dog on grass"])
     [text] = tokens_to_text(ids, tok)
     assert "dog" in text
+
+
+def test_generate_top_p(coca_setup):
+    from colxlip_tpu.serving.generate import generate_captions
+
+    model, params, img, *_ = coca_setup
+    t1 = generate_captions(model, params, img, max_len=6, method="top_p",
+                           top_p=0.95, temperature=2.0,
+                           rng=jax.random.PRNGKey(3))
+    assert t1.shape[0] == 2
+    # p -> 0 collapses the nucleus to the argmax == greedy
+    t_small = generate_captions(model, params, img, max_len=6,
+                                method="top_p", top_p=1e-6,
+                                rng=jax.random.PRNGKey(3))
+    greedy = generate_captions(model, params, img, max_len=6)
+    np.testing.assert_array_equal(t_small, greedy)
