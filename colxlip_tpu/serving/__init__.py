@@ -1,2 +1,7 @@
 """Serving-path extras: int8 post-training-quantized encoders."""
-from .int8 import quantize_vision_params, vision_encode_int8  # noqa: F401
+from .int8 import (  # noqa: F401
+    quantize_text_params,
+    quantize_vision_params,
+    text_encode_int8,
+    vision_encode_int8,
+)

@@ -1,10 +1,11 @@
-"""int8 post-training-quantized vision encoder (serving path).
+"""int8 post-training-quantized encoders (serving path, both towers).
 
 The v5e MXU runs int8 x int8 -> int32 matmuls at 2x the bf16 rate
 (394 vs 197 TOPS nominal), and image encoding is matmul-dominated. This
 module is a standalone functional forward of the VisionTransformer
-(models/vision.py — mirrored exactly; tested for feature agreement against
-``model.apply``) whose Dense layers run:
+(models/vision.py) and TextTransformer (models/text.py) — mirrored exactly;
+tested for feature agreement against ``model.apply`` — whose Dense layers
+run:
 
   - WEIGHTS:     per-output-channel symmetric int8, quantized once offline
                  from the trained fp32 params (``quantize_vision_params``).
@@ -186,4 +187,95 @@ def vision_encode_int8(cfg, qparams: Dict[str, Any], images: jnp.ndarray,
         n = jnp.sqrt(jnp.maximum(jnp.sum(pooled * pooled, -1, keepdims=True),
                                  1e-12))
         pooled = pooled / n
+    return pooled
+
+
+def quantize_text_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize the Dense kernels of a trained ``text`` tower (same scheme
+    as ``quantize_vision_params``; embeddings/LN/bias stay fp32)."""
+    p = params.get("params", params)
+    t = p["text"]
+    proj = t["text_projection"]
+    if isinstance(proj, dict):  # Dense variant (proj_bias=True)
+        qproj = {**_quant_weight(proj["kernel"]),
+                 "bias": jnp.asarray(proj["bias"], jnp.float32)}
+    else:
+        qproj = _quant_weight(proj)
+    out: Dict[str, Any] = {
+        "token_embedding": jnp.asarray(
+            t["token_embedding"]["embedding"], jnp.float32),
+        "positional_embedding": jnp.asarray(
+            t["positional_embedding"], jnp.float32),
+        "ln_final": t["ln_final"],
+        "text_projection": qproj,
+        "blocks": [],
+    }
+    blocks = t["transformer"]
+    i = 0
+    while f"resblocks_{i}" in blocks:
+        blk = blocks[f"resblocks_{i}"]
+        out["blocks"].append({
+            "ln_1": blk["ln_1"],
+            "ln_2": blk["ln_2"],
+            "in_proj": {**_quant_weight(blk["attn"]["in_proj"]["kernel"]),
+                        "bias": jnp.asarray(blk["attn"]["in_proj"]["bias"],
+                                            jnp.float32)},
+            "out_proj": {**_quant_weight(blk["attn"]["out_proj"]["kernel"]),
+                         "bias": jnp.asarray(blk["attn"]["out_proj"]["bias"],
+                                             jnp.float32)},
+            "c_fc": {**_quant_weight(blk["mlp"]["c_fc"]["kernel"]),
+                     "bias": jnp.asarray(blk["mlp"]["c_fc"]["bias"],
+                                         jnp.float32)},
+            "c_proj": {**_quant_weight(blk["mlp"]["c_proj"]["kernel"]),
+                       "bias": jnp.asarray(blk["mlp"]["c_proj"]["bias"],
+                                           jnp.float32)},
+        })
+        i += 1
+    return out
+
+
+def text_encode_int8(cfg, qparams: Dict[str, Any], text: jnp.ndarray,
+                     *, normalize: bool = True,
+                     interpret: bool = False) -> jnp.ndarray:
+    """text [B, L] int32 -> pooled features [B, embed_dim].
+
+    Mirrors TextTransformer.__call__ (models/text.py) for the standard
+    serving configuration: causal mask + argmax(EOT) pooling.
+    """
+    tcfg = cfg.text_cfg
+    if tcfg.pool_type != "argmax" or tcfg.no_causal_mask:
+        raise NotImplementedError(
+            "int8 text serving covers the standard causal/argmax config; "
+            "use the bf16 model for other configurations")
+    x = qparams["token_embedding"][text].astype(jnp.bfloat16)
+    n = text.shape[1]
+    x = x + qparams["positional_embedding"][:n].astype(jnp.bfloat16)
+
+    from ..ops.fused_attention import fused_mha_packed, fused_mha_reference
+
+    heads = tcfg.heads
+    for blk in qparams["blocks"]:
+        h = _layernorm(x, blk["ln_1"])
+        qkv = _qdense(h, blk["in_proj"])
+        if interpret or jax.default_backend() == "tpu":
+            attn = fused_mha_packed(qkv, heads, True, 0, interpret)
+        else:
+            attn = fused_mha_reference(qkv, heads, True)
+        x = x + _qdense(attn, blk["out_proj"])
+        h = _layernorm(x, blk["ln_2"])
+        h = _qdense(h, blk["c_fc"])
+        if cfg.quick_gelu:
+            h = h * jax.nn.sigmoid(1.702 * h)
+        else:
+            h = jax.nn.gelu(h, approximate=cfg.gelu_approximate)
+        x = x + _qdense(h, blk["c_proj"])
+
+    x = _layernorm(x, qparams["ln_final"])
+    pooled = x[jnp.arange(x.shape[0]), jnp.argmax(text, axis=-1)]
+    pooled = _qdense(pooled, qparams["text_projection"],
+                     out_dtype=jnp.float32)
+    if normalize:
+        nrm = jnp.sqrt(jnp.maximum(
+            jnp.sum(pooled * pooled, -1, keepdims=True), 1e-12))
+        pooled = pooled / nrm
     return pooled

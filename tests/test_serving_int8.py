@@ -54,3 +54,35 @@ def test_int8_weight_roundtrip():
     deq = np.asarray(qw["q"], np.float32) * np.asarray(qw["scale"])[None, :]
     # per-channel symmetric int8: worst-case error is scale/2 per element
     assert np.abs(deq - w).max() <= np.asarray(qw["scale"]).max() * 0.5 + 1e-6
+
+
+def test_int8_text_features_close_to_fp32(model_and_params):
+    from colxlip_tpu.serving import quantize_text_params, text_encode_int8
+
+    cfg, model, params, img = model_and_params
+    rng = np.random.default_rng(1)
+    txt = np.zeros((4, cfg.text_cfg.context_length), np.int32)
+    txt[:, 0] = 49406
+    for r in range(4):
+        ln = rng.integers(3, cfg.text_cfg.context_length - 1)
+        txt[r, 1:ln] = rng.integers(1, 49000, ln - 1)
+        txt[r, ln] = 49407
+    txt = jnp.asarray(txt)
+    ref = model.apply(params, None, txt)["text_features"]
+    qp = quantize_text_params(params)
+    got = text_encode_int8(cfg, qp, txt)
+    cos = jnp.sum(ref.astype(jnp.float32) * got, axis=-1)
+    assert float(jnp.min(cos)) > 0.99, np.asarray(cos)
+
+
+def test_int8_text_rejects_nonstandard(model_and_params):
+    import dataclasses
+
+    from colxlip_tpu.serving import quantize_text_params, text_encode_int8
+
+    cfg, model, params, img = model_and_params
+    tcfg = dataclasses.replace(cfg.text_cfg, pool_type="last")
+    bad = dataclasses.replace(cfg, text_cfg=tcfg)
+    qp = quantize_text_params(params)
+    with pytest.raises(NotImplementedError):
+        text_encode_int8(bad, qp, jnp.zeros((1, 8), jnp.int32))
