@@ -10,12 +10,16 @@ FLAIR/DreamLIP ablation fields are dropped (SURVEY.md §7.4).
 from __future__ import annotations
 
 import copy
+import logging
 import dataclasses
 import json
 import pathlib
 from typing import Optional, Tuple, Union
 
 import jax.numpy as jnp
+
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -98,11 +102,19 @@ class CLIPCfg:
         text = d.pop("text_cfg", {})
         known_v = {f.name for f in dataclasses.fields(CLIPVisionCfg)}
         known_t = {f.name for f in dataclasses.fields(CLIPTextCfg)}
-        known_c = {f.name for f in dataclasses.fields(cls)}
+        known_c = {f.name for f in dataclasses.fields(cls)} | {"multimodal_cfg"}
+        # unknown keys are tolerated (vestigial reference-config fields) but
+        # WARNED about: a typo'd field silently building a default-valued
+        # architecture trains the wrong model with no diagnostic
+        dropped = ([k for k in vision if k not in known_v]
+                   + [k for k in text if k not in known_t]
+                   + [k for k in d if k not in known_c])
+        if dropped:
+            logger.warning("model config: ignoring unknown keys %s", dropped)
         return cls(
             vision_cfg=CLIPVisionCfg(**{k: v for k, v in vision.items() if k in known_v}),
             text_cfg=CLIPTextCfg(**{k: v for k, v in text.items() if k in known_t}),
-            **{k: v for k, v in d.items() if k in known_c and k not in ("vision_cfg", "text_cfg")},
+            **{k: v for k, v in d.items() if k in known_c and k not in ("vision_cfg", "text_cfg", "multimodal_cfg")},
         )
 
     def to_dict(self) -> dict:
@@ -170,10 +182,16 @@ def list_models():
 
 
 def add_model_config(path) -> None:
-    """Register a single JSON model config file (reference: factory.py:79-84)."""
+    """Register a single JSON model config file (reference: factory.py:79-84).
+
+    Applies the same schema gate as the directory scan — registering an
+    arbitrary JSON here would otherwise flow into an all-defaults CLIPCfg."""
     p = pathlib.Path(path)
     with open(p) as f:
         cfg = json.load(f)
+    if not ("embed_dim" in cfg and "vision_cfg" in cfg and "text_cfg" in cfg):
+        raise ValueError(
+            f"{p}: not a model config (needs embed_dim/vision_cfg/text_cfg)")
     _MODEL_CONFIGS[p.stem] = cfg
 
 

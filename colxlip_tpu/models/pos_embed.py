@@ -52,6 +52,47 @@ def interpolate_pos_embed(
     d = grid_embed.shape[-1]
     oh, ow = old_grid
     nh, nw = new_grid
-    grid_embed = grid_embed.reshape(oh, ow, d)
-    resized = jax.image.resize(grid_embed, (nh, nw, d), method="bicubic")
-    return jnp.concatenate([prefix, resized.reshape(nh * nw, d)], axis=0)
+    grid_embed = np.asarray(grid_embed, np.float64).reshape(oh, ow, d)
+    # torch-exact bicubic (a=-0.75, antialias=True, align_corners=False):
+    # jax.image.resize uses the Keys a=-0.5 kernel and different antialias
+    # semantics, which shifted the resized table per-element vs the
+    # reference's F.interpolate and broke resolution-transfer parity
+    wh = _torch_bicubic_weights(oh, nh)
+    ww = _torch_bicubic_weights(ow, nw)
+    resized = np.einsum("oi,iwd->owd", wh, grid_embed)
+    resized = np.einsum("ow,hwd->hod", ww, resized)
+    resized = jnp.asarray(resized.reshape(nh * nw, d), pos_embed.dtype)
+    return jnp.concatenate([prefix, resized], axis=0)
+
+
+def _torch_bicubic_weights(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] row-normalized weights matching
+    torch.nn.functional.interpolate(mode='bicubic', antialias=True,
+    align_corners=False) along one axis (the reference resize_pos_embed,
+    model.py:355-378).
+
+    Probed against torch element-for-element: the ANTIALIAS path uses the
+    PIL-compatible a=-0.5 cubic (the non-AA path uses a=-0.75), widens the
+    kernel by the scale factor when DOWNSCALING, EXCLUDES out-of-range taps
+    (no edge folding) and renormalizes the surviving window."""
+    a = -0.5
+
+    def cubic(x):
+        x = np.abs(x)
+        return np.where(
+            x <= 1.0, (a + 2) * x ** 3 - (a + 3) * x ** 2 + 1,
+            np.where(x < 2.0, a * x ** 3 - 5 * a * x ** 2 + 8 * a * x - 4 * a,
+                     0.0))
+
+    scale = n_in / n_out
+    kernel_scale = max(scale, 1.0)  # antialias widening (downscale only)
+    support = 2.0 * kernel_scale
+    w = np.zeros((n_out, n_in), np.float64)
+    for i in range(n_out):
+        center = (i + 0.5) * scale - 0.5
+        lo = max(int(np.floor(center - support)) + 1, 0)
+        hi = min(int(np.floor(center + support)) + 1, n_in)
+        js = np.arange(lo, hi)
+        weights = cubic((js - center) / kernel_scale)
+        w[i, js] = weights / weights.sum()
+    return w

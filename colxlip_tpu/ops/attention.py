@@ -62,9 +62,13 @@ def resolve_impl(impl: str = "auto") -> str:
 
 
 def xla_attention(q, k, v, *, mask=None, causal: bool = False):
-    """Reference path: jax.nn.dot_product_attention (XLA-fused softmax)."""
+    """Reference path: jax.nn.dot_product_attention (XLA-fused softmax).
+
+    bias and is_causal COMPOSE (a pad bias plus causal masking must not
+    silently turn bidirectional — the old `causal and mask is None` did
+    exactly that)."""
     return jax.nn.dot_product_attention(
-        q, k, v, bias=mask, is_causal=causal and mask is None
+        q, k, v, bias=mask, is_causal=causal
     )
 
 
@@ -134,9 +138,17 @@ def flash_attention_bnhd(q, k, v, *, causal: bool = False):
             (jnp.arange(m_pad) < m).astype(jnp.int32)[None], (b, m_pad))
         segment_ids = SegmentIds(q=q_seg, kv=kv_seg)
 
-    # tuned on v5e (ViT-B shapes): full-sequence q/k blocks, batch-block 8
-    bs = min(512, n_pad)
-    bsk = min(512, m_pad)
+    # tuned on v5e (ViT-B shapes): full-sequence q/k blocks, batch-block 8.
+    # The stock kernel asserts block divisibility, so clamp to the largest
+    # 128-multiple divisor <= 512 (n_pad/m_pad are always 128-multiples)
+    def _divisor_block(padded):
+        b = min(512, padded)
+        while padded % b:
+            b -= 128
+        return b
+
+    bs = _divisor_block(n_pad)
+    bsk = _divisor_block(m_pad)
     blocks = BlockSizes(
         block_q=bs, block_k_major=bsk, block_k=bsk, block_b=min(8, b),
         block_q_major_dkv=bs, block_k_major_dkv=bsk, block_k_dkv=bsk,

@@ -82,11 +82,17 @@ def _fwd_kernel(qkv_ref, out_ref, *, heads: int, head_dim: int, causal: bool,
             ) * scale
             if mask is not None:
                 s = jnp.where(mask, s, _NEG_INF)
-            p = jax.nn.softmax(s, axis=-1).astype(qkv_ref.dtype)
-            out_ref[b, :, o:o + head_dim] = jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
+            # deferred softmax normalization: divide the [N, D] PV output by
+            # the row sums instead of the [N, N] probabilities — one fewer
+            # full score-tile VPU pass per head (exp(s-max) <= 1, so the
+            # bf16 cast loses no more than the normalized form did)
+            e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                e.astype(qkv_ref.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(out_ref.dtype)
+            )
+            out_ref[b, :, o:o + head_dim] = (pv / denom).astype(out_ref.dtype)
 
 
 def _bwd_kernel(qkv_ref, dout_ref, dqkv_ref, *, heads: int, head_dim: int,
@@ -152,6 +158,10 @@ def _fwd_call(qkv, heads, causal, block_b, interpret):
     scale = 1.0 / math.sqrt(head_dim)
     itemsize = jnp.dtype(qkv.dtype).itemsize
     bb = block_b or _pick_block_b(b, n * (three_hd + hd) * itemsize)
+    if b % bb:
+        raise ValueError(
+            f"block_b={bb} does not divide batch {b}: the truncated grid "
+            "would leave trailing output rows uninitialized")
     kernel = functools.partial(
         _fwd_kernel, heads=heads, head_dim=head_dim, causal=causal,
         scale=scale,
@@ -180,6 +190,10 @@ def _bwd_call(qkv, dout, heads, causal, block_b, interpret):
     scale = 1.0 / math.sqrt(head_dim)
     itemsize = jnp.dtype(qkv.dtype).itemsize
     bb = block_b or _pick_block_b(b, n * (2 * three_hd + hd) * itemsize)
+    if b % bb:
+        raise ValueError(
+            f"block_b={bb} does not divide batch {b}: the truncated grid "
+            "would leave trailing gradient rows uninitialized")
     kernel = functools.partial(
         _bwd_kernel, heads=heads, head_dim=head_dim, causal=causal,
         scale=scale,

@@ -340,7 +340,7 @@ def maxsim_pallas(
     mask_mode: str = "nonzero",
     text_mask: Optional[jnp.ndarray] = None,
     block_m: Optional[int] = None,
-    block_k: int = 8,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """[M,Lt,D] x [K,Li,D] -> [M,K] fp32 MaxSim via the blocked TPU kernel.
@@ -356,18 +356,24 @@ def maxsim_pallas(
         raise ValueError("mask_mode='valid' needs text_mask")
     if mask_mode != "valid":
         text_mask = None
-    assert _LANE % block_k == 0, "block_k must divide 128"
-
     m, lt, d = token_text.shape
     k, li, _ = token_image.shape
+    explicit_bk = block_k is not None
+    if block_k is None:
+        block_k = 8
     if block_m is None:
         # VMEM budget: worst-case live set is T block + double-buffered I
         # block + ~4 [bm*Lt, Li_pad] fp32 temporaries; these defaults keep it
-        # under the 16MB scoped limit for Lt=77, Li=196, D=512
+        # under the 16MB scoped limit for Lt=77, Li=196, D=512. An EXPLICIT
+        # block_k is honored (silently shrinking a requested block is how
+        # block-size sweeps measure the wrong path).
         if token_text.dtype == jnp.bfloat16:
             block_m = 16
         else:
-            block_m, block_k = 8, min(block_k, 4)
+            block_m = 8
+            if not explicit_bk:
+                block_k = min(block_k, 4)
+    assert _LANE % block_k == 0, "block_k must divide 128"
     bm = min(block_m, _round_up(m, 8))
     bk = block_k
     m_pad = _round_up(m, bm)

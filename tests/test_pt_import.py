@@ -214,3 +214,26 @@ def test_coca_text_tower_import_and_parity():
     np.testing.assert_allclose(np.asarray(got_tokens),
                                want_tokens.detach().numpy(),
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("grids", [(14, 21), (14, 7), (7, 14), (24, 10)])
+def test_pos_embed_resize_matches_torch_interpolate(grids):
+    """resize-on-load parity: the bicubic pos-embed resample matches the
+    reference's F.interpolate(mode='bicubic', antialias=True) element-wise
+    (model.py:355-378) — the AA path is the PIL a=-0.5 cubic with clamped
+    renormalized windows, NOT jax.image.resize's kernel."""
+    import torch.nn.functional as F
+
+    from colxlip_tpu.models.pos_embed import interpolate_pos_embed
+
+    oh, nh = grids
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((oh, oh, 6)).astype(np.float32)
+    want = F.interpolate(
+        torch.from_numpy(x).permute(2, 0, 1)[None], size=(nh, nh),
+        mode="bicubic", antialias=True)[0].permute(1, 2, 0).numpy()
+    pe = np.concatenate(
+        [rng.standard_normal((1, 6)).astype(np.float32), x.reshape(-1, 6)])
+    got = np.asarray(interpolate_pos_embed(jnp.asarray(pe), (nh, nh), (oh, oh)))
+    np.testing.assert_allclose(got[1:].reshape(nh, nh, 6), want, atol=1e-5)
+    np.testing.assert_array_equal(got[0], pe[0])  # prefix untouched
