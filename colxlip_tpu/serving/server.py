@@ -1,0 +1,410 @@
+"""Batched HTTP inference server for the ColXLIP/CLIP towers.
+
+The reference ships no serving layer — its closest surface is the
+``--torchscript`` trace hook (reference main.py:233, model.py:339-352) and
+the eval-only driver mode. A late-interaction retrieval model is a *serving*
+artifact, so this framework provides the missing piece natively, designed
+TPU-first:
+
+  - **Static shapes.** Every request batch is padded to a power-of-two
+    bucket (1, 2, 4, ... max_batch), so each bucket's XLA program compiles
+    exactly once and the chip never sees a dynamic shape. Padding rows are
+    sliced off before the response (and cost ~nothing: the towers are
+    per-sample, so pad rows never contaminate real ones).
+  - **Dynamic batching.** Concurrent requests are coalesced by one batcher
+    thread per request kind (text / image) up to ``max_batch`` items or
+    ``max_wait_ms``, whichever comes first — one device program per wave,
+    per-request futures resolve when the wave completes. HTTP threads only
+    tokenize / decode / wait; a single thread owns the chip.
+  - **stdlib only.** ``http.server.ThreadingHTTPServer`` + ``json`` +
+    ``base64`` — no web framework to vendor.
+
+Endpoints (all JSON):
+
+  GET  /healthz            -> {"status": "ok", "model": ..., "embed_dim": ...}
+  POST /v1/embed/text      {"texts": [...]}
+                           -> {"embeddings": [[...]], "count": N}
+  POST /v1/embed/image     {"images_b64": ["<jpeg/png base64>", ...]}
+                           -> {"embeddings": [[...]], "count": N}
+  POST /v1/score           {"texts": [...], "images_b64": [...],
+                            "scoring": "global"|"maxsim"|"mixed",
+                            "alpha": 0.5}
+                           -> {"similarity": [[img x text]], "scoring": ...}
+
+Scoring semantics are identical to the eval harness
+(``training/evaluate.score_similarity`` — reference train.py:588-614 global
+path plus the working MaxSim late-interaction path the reference never
+wired up).
+"""
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import logging
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def next_bucket(n: int, max_batch: int) -> int:
+    """Smallest power-of-two >= n, capped at max_batch (static-shape ladder:
+    at most log2(max_batch)+1 compiled programs per tower)."""
+    if n >= max_batch:
+        return max_batch
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclass
+class _Work:
+    payload: np.ndarray          # [n, ...] request batch
+    future: Future = field(default_factory=Future)
+
+
+class DynamicBatcher:
+    """Coalesces concurrent same-kind requests into one device wave.
+
+    ``fn`` maps a [B, ...] padded batch -> tuple of [B, ...] arrays. Each
+    submitted item's future resolves with the tuple sliced to its own rows.
+    """
+
+    def __init__(self, fn, max_batch: int = 64, max_wait_ms: float = 3.0,
+                 name: str = "batcher"):
+        self._fn = fn
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self._q: "queue.Queue[Optional[_Work]]" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name=name)
+        self._stopping = False
+        self._thread.start()
+
+    def submit(self, payload: np.ndarray) -> Future:
+        if self._stopping:
+            raise RuntimeError("batcher is shut down")
+        w = _Work(np.asarray(payload))
+        self._q.put(w)
+        return w.future
+
+    def stop(self) -> None:
+        self._stopping = True
+        self._q.put(None)
+        self._thread.join(timeout=10)
+
+    def _collect(self) -> Optional[List[_Work]]:
+        """Block for the first item, then drain up to max_batch rows or
+        max_wait_s, whichever first."""
+        first = self._q.get()
+        if first is None:
+            return None
+        wave = [first]
+        rows = first.payload.shape[0]
+        deadline = _monotonic() + self.max_wait_s
+        while rows < self.max_batch:
+            timeout = deadline - _monotonic()
+            if timeout <= 0:
+                break
+            try:
+                w = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if w is None:
+                self._q.put(None)  # propagate shutdown after this wave
+                break
+            wave.append(w)
+            rows += w.payload.shape[0]
+        return wave
+
+    def _loop(self) -> None:
+        while True:
+            wave = self._collect()
+            if wave is None:
+                return
+            try:
+                batch = (wave[0].payload if len(wave) == 1
+                         else np.concatenate([w.payload for w in wave]))
+                outs = self._fn(batch)
+                i = 0
+                for w in wave:
+                    n = w.payload.shape[0]
+                    w.future.set_result(tuple(o[i:i + n] for o in outs))
+                    i += n
+            except Exception as e:  # noqa: BLE001 — fail the wave, keep serving
+                logger.exception("batch wave failed")
+                for w in wave:
+                    if not w.future.done():
+                        w.future.set_exception(e)
+
+
+def _monotonic() -> float:
+    import time
+    return time.monotonic()
+
+
+class InferenceEngine:
+    """Jitted bucketed encode for one model/params pair.
+
+    Returns (pooled_l2_normalized, token_features) per tower; for plain CLIP
+    models the token features are zero-length placeholders so the batcher
+    contract stays uniform.
+    """
+
+    def __init__(self, model, params, max_batch: int = 64):
+        import jax
+
+        self.model = model
+        self.max_batch = max_batch
+        self.params = params
+
+        @jax.jit
+        def encode_text(p, texts):
+            out = model.apply(
+                p, text=texts,
+                method=lambda m, text: m.encode_text(text, normalize=True),
+            )
+            return out if isinstance(out, tuple) else (out,)
+
+        @jax.jit
+        def encode_image(p, images):
+            out = model.apply(
+                p, images,
+                method=lambda m, image: m.encode_image(image, normalize=True),
+            )
+            return out if isinstance(out, tuple) else (out,)
+
+        self._encode = {"text": encode_text, "image": encode_image}
+
+    def run(self, kind: str, batch: np.ndarray) -> Tuple[np.ndarray, ...]:
+        n = batch.shape[0]
+        if n > self.max_batch:
+            # split oversize requests into full device waves
+            parts = [self.run(kind, batch[i:i + self.max_batch])
+                     for i in range(0, n, self.max_batch)]
+            return tuple(np.concatenate(cols) for cols in zip(*parts))
+        b = next_bucket(n, self.max_batch)
+        if b != n:
+            pad = np.zeros((b - n,) + batch.shape[1:], batch.dtype)
+            if kind == "text":
+                pad[:, 0] = 49406  # SOT: keep the argmax-EOT pool well-defined
+                pad[:, 1] = 49407
+            batch = np.concatenate([batch, pad])
+        out = self._encode[kind](self.params, batch)
+        return tuple(np.asarray(o[:n], np.float32) for o in out)
+
+
+class ColXLIPService:
+    """Model + tokenizer + transform + batchers behind the HTTP handler."""
+
+    def __init__(self, model_name: str, checkpoint: Optional[str] = None,
+                 *, max_batch: int = 64, max_wait_ms: float = 3.0,
+                 scoring: str = "global", alpha: float = 0.5,
+                 mask_mode: str = "nonzero", quick_gelu: Optional[bool] = None,
+                 model=None, params=None, cfg=None):
+        from ..factory import create_model, init_params, load_weights
+        from ..data.tokenizer import get_tokenizer_cached
+        from ..data.transforms import image_transform
+
+        if model is None:
+            model, cfg = create_model(model_name, quick_gelu=quick_gelu)
+            if checkpoint:
+                params = load_weights(model, cfg, checkpoint,
+                                      model_name=model_name)
+            else:
+                logger.warning("serving RANDOM-INIT weights (no --checkpoint)")
+                params = init_params(model, cfg)
+        self.model_name = model_name
+        self.cfg = cfg
+        self.scoring = scoring
+        self.alpha = alpha
+        self.mask_mode = mask_mode
+        self.tokenizer = get_tokenizer_cached(cfg.text_cfg.context_length)
+        self.transform = image_transform(cfg.vision_cfg.image_size,
+                                         is_train=False)
+        self.engine = InferenceEngine(model, params, max_batch=max_batch)
+        self._batchers = {
+            kind: DynamicBatcher(
+                lambda b, k=kind: self.engine.run(k, b),
+                max_batch=max_batch, max_wait_ms=max_wait_ms,
+                name=f"batcher-{kind}")
+            for kind in ("text", "image")
+        }
+        ls = params["params"]["logit_scale"]
+        self.logit_scale = float(np.exp(np.asarray(ls)))
+
+    # ---- request paths (called from HTTP threads) ----
+
+    def tokenize(self, texts: List[str]) -> np.ndarray:
+        return np.asarray(self.tokenizer(texts), np.int32)
+
+    def decode_images(self, images_b64: List[str]) -> np.ndarray:
+        from PIL import Image
+
+        arrs = []
+        for b64 in images_b64:
+            img = Image.open(io.BytesIO(base64.b64decode(b64)))
+            arrs.append(self.transform(img))
+        return np.stack(arrs).astype(np.float32)
+
+    def embed(self, kind: str, batch: np.ndarray, timeout: float = 120.0):
+        return self._batchers[kind].submit(batch).result(timeout=timeout)
+
+    def score(self, texts: List[str], images_b64: List[str],
+              scoring: Optional[str] = None,
+              alpha: Optional[float] = None) -> np.ndarray:
+        tokens = self.tokenize(texts)
+        imgs = self.decode_images(images_b64)
+        f_txt = self._batchers["text"].submit(tokens)
+        f_img = self._batchers["image"].submit(imgs)
+        txt_out, img_out = f_txt.result(timeout=120), f_img.result(timeout=120)
+        txt_feats, txt_tokens = txt_out[0], (txt_out[1] if len(txt_out) > 1 else None)
+        img_feats, img_tokens = img_out[0], (img_out[1] if len(img_out) > 1 else None)
+        from ..training.evaluate import score_similarity
+
+        scoring = scoring or self.scoring
+        text_mask = None
+        if self.mask_mode == "valid" and scoring in ("maxsim", "mixed"):
+            eot = tokens.argmax(axis=-1)
+            text_mask = (np.arange(tokens.shape[1])[None, :]
+                         < eot[:, None]).astype(np.float32)
+        return score_similarity(
+            img_feats, txt_feats, img_tokens, txt_tokens, self.logit_scale,
+            scoring=scoring, alpha=self.alpha if alpha is None else alpha,
+            mask_mode=self.mask_mode, text_mask=text_mask,
+        )
+
+    def stop(self) -> None:
+        for b in self._batchers.values():
+            b.stop()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: ColXLIPService  # set by make_server
+
+    # ---- plumbing ----
+    def log_message(self, fmt, *args):  # route to logging, not stderr
+        logger.debug("%s " + fmt, self.address_string(), *args)
+
+    def _send(self, code: int, obj: dict) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _read_json(self) -> dict:
+        length = int(self.headers.get("Content-Length", 0))
+        if length <= 0:
+            raise ValueError("empty request body")
+        return json.loads(self.rfile.read(length))
+
+    # ---- routes ----
+    def do_GET(self):  # noqa: N802 — http.server API
+        if self.path != "/healthz":
+            return self._send(404, {"error": f"unknown path {self.path}"})
+        svc = self.service
+        self._send(200, {
+            "status": "ok",
+            "model": svc.model_name,
+            "embed_dim": svc.cfg.embed_dim,
+            "image_size": svc.cfg.vision_cfg.image_size,
+            "context_length": svc.cfg.text_cfg.context_length,
+            "scoring": svc.scoring,
+        })
+
+    def do_POST(self):  # noqa: N802 — http.server API
+        try:
+            req = self._read_json()
+            if self.path == "/v1/embed/text":
+                texts = req["texts"]
+                if not isinstance(texts, list) or not texts:
+                    raise ValueError("'texts' must be a non-empty list")
+                out = self.service.embed("text", self.service.tokenize(texts))
+                resp = {"embeddings": out[0].tolist(), "count": len(texts)}
+                if req.get("return_tokens") and len(out) > 1:
+                    resp["token_embeddings"] = out[1].tolist()
+                return self._send(200, resp)
+            if self.path == "/v1/embed/image":
+                imgs = req["images_b64"]
+                if not isinstance(imgs, list) or not imgs:
+                    raise ValueError("'images_b64' must be a non-empty list")
+                out = self.service.embed(
+                    "image", self.service.decode_images(imgs))
+                resp = {"embeddings": out[0].tolist(), "count": len(imgs)}
+                if req.get("return_tokens") and len(out) > 1:
+                    resp["token_embeddings"] = out[1].tolist()
+                return self._send(200, resp)
+            if self.path == "/v1/score":
+                sim = self.service.score(
+                    req["texts"], req["images_b64"],
+                    scoring=req.get("scoring"), alpha=req.get("alpha"),
+                )
+                return self._send(200, {
+                    "similarity": np.asarray(sim).tolist(),
+                    "scoring": req.get("scoring") or self.service.scoring,
+                })
+            return self._send(404, {"error": f"unknown path {self.path}"})
+        except (KeyError, ValueError, TypeError) as e:
+            return self._send(400, {"error": str(e)})
+        except Exception as e:  # noqa: BLE001 — surface, don't kill the thread
+            logger.exception("request failed")
+            return self._send(500, {"error": str(e)})
+
+
+def make_server(service: ColXLIPService, host: str = "0.0.0.0",
+                port: int = 8080) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; port 0 picks an ephemeral
+    port (read it back from ``server.server_address``)."""
+    handler = type("BoundHandler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--model", default="ViT-B-16-colxlip")
+    p.add_argument("--checkpoint", default=None,
+                   help=".pt or orbax checkpoint (default: random init)")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max-batch", type=int, default=64)
+    p.add_argument("--max-wait-ms", type=float, default=3.0)
+    p.add_argument("--scoring", default="global",
+                   choices=["global", "maxsim", "mixed"])
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--mask-mode", default="nonzero",
+                   choices=["nonzero", "plain", "valid"])
+    p.add_argument("--force-quick-gelu", action="store_true")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      __import__("os").environ.get("JAX_CACHE_DIR",
+                                                   "/root/.jax_cache"))
+    svc = ColXLIPService(
+        args.model, args.checkpoint, max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms, scoring=args.scoring, alpha=args.alpha,
+        mask_mode=args.mask_mode,
+        quick_gelu=True if args.force_quick_gelu else None,
+    )
+    server = make_server(svc, args.host, args.port)
+    logger.info("serving %s on %s:%d", args.model, *server.server_address)
+    try:
+        server.serve_forever()
+    finally:
+        svc.stop()
+
+
+if __name__ == "__main__":
+    main()
