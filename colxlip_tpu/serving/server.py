@@ -30,6 +30,11 @@ Endpoints (all JSON):
                             "scoring": "global"|"maxsim"|"mixed",
                             "alpha": 0.5}
                            -> {"similarity": [[img x text]], "scoring": ...}
+  POST /v1/search          {"texts": [...], "k": 10, "shortlist": 100,
+                            "scoring": "maxsim"}   (needs --index <dir>)
+                           -> {"indices": [[...]], "scores": [[...]],
+                               "ids": [[...]]?}  — two-stage late-interaction
+                           corpus search (serving/index.py)
 
 Scoring semantics are identical to the eval harness
 (``training/evaluate.score_similarity`` — reference train.py:588-614 global
@@ -210,6 +215,7 @@ class ColXLIPService:
                  *, max_batch: int = 64, max_wait_ms: float = 3.0,
                  scoring: str = "global", alpha: float = 0.5,
                  mask_mode: str = "nonzero", quick_gelu: Optional[bool] = None,
+                 index_dir: Optional[str] = None,
                  model=None, params=None, cfg=None):
         from ..factory import create_model, init_params, load_weights
         from ..data.tokenizer import get_tokenizer_cached
@@ -241,6 +247,13 @@ class ColXLIPService:
         }
         ls = params["params"]["logit_scale"]
         self.logit_scale = float(np.exp(np.asarray(ls)))
+        self.index = None
+        if index_dir:
+            from .index import RetrievalIndex
+
+            self.index = RetrievalIndex(index_dir)
+            logger.info("retrieval index: %d items from %s",
+                        len(self.index), index_dir)
 
     # ---- request paths (called from HTTP threads) ----
 
@@ -283,6 +296,28 @@ class ColXLIPService:
             mask_mode=self.mask_mode, text_mask=text_mask,
         )
 
+    def search(self, texts: List[str], *, k: int = 10, shortlist: int = 100,
+               scoring: Optional[str] = None, alpha: Optional[float] = None):
+        """Text -> corpus-image search against the loaded retrieval index."""
+        if self.index is None:
+            raise ValueError("no retrieval index loaded (start the server "
+                             "with --index <dir>)")
+        tokens = self.tokenize(texts)
+        out = self._batchers["text"].submit(tokens).result(timeout=120)
+        pooled = out[0]
+        q_tokens = out[1] if len(out) > 1 else None
+        scoring = scoring or ("maxsim" if q_tokens is not None else "global")
+        text_mask = None
+        if self.mask_mode == "valid" and scoring in ("maxsim", "mixed"):
+            eot = tokens.argmax(axis=-1)
+            text_mask = (np.arange(tokens.shape[1])[None, :]
+                         < eot[:, None]).astype(np.float32)
+        return self.index.search(
+            pooled, q_tokens, k=k, shortlist=shortlist, scoring=scoring,
+            alpha=self.alpha if alpha is None else alpha,
+            mask_mode=self.mask_mode, text_mask=text_mask,
+        )
+
     def stop(self) -> None:
         for b in self._batchers.values():
             b.stop()
@@ -321,6 +356,7 @@ class _Handler(BaseHTTPRequestHandler):
             "image_size": svc.cfg.vision_cfg.image_size,
             "context_length": svc.cfg.text_cfg.context_length,
             "scoring": svc.scoring,
+            "index_items": len(svc.index) if svc.index is not None else None,
         })
 
     def do_POST(self):  # noqa: N802 — http.server API
@@ -354,6 +390,16 @@ class _Handler(BaseHTTPRequestHandler):
                     "similarity": np.asarray(sim).tolist(),
                     "scoring": req.get("scoring") or self.service.scoring,
                 })
+            if self.path == "/v1/search":
+                idx, scores, ids = self.service.search(
+                    req["texts"], k=int(req.get("k", 10)),
+                    shortlist=int(req.get("shortlist", 100)),
+                    scoring=req.get("scoring"), alpha=req.get("alpha"),
+                )
+                resp = {"indices": idx.tolist(), "scores": scores.tolist()}
+                if ids is not None:
+                    resp["ids"] = ids
+                return self._send(200, resp)
             return self._send(404, {"error": f"unknown path {self.path}"})
         except (KeyError, ValueError, TypeError) as e:
             return self._send(400, {"error": str(e)})
@@ -385,6 +431,9 @@ def main(argv=None):
     p.add_argument("--mask-mode", default="nonzero",
                    choices=["nonzero", "plain", "valid"])
     p.add_argument("--force-quick-gelu", action="store_true")
+    p.add_argument("--index", default=None,
+                   help="retrieval-index dir (serving/index.py) to enable "
+                        "POST /v1/search")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -397,6 +446,7 @@ def main(argv=None):
         max_wait_ms=args.max_wait_ms, scoring=args.scoring, alpha=args.alpha,
         mask_mode=args.mask_mode,
         quick_gelu=True if args.force_quick_gelu else None,
+        index_dir=args.index,
     )
     server = make_server(svc, args.host, args.port)
     logger.info("serving %s on %s:%d", args.model, *server.server_address)

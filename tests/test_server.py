@@ -158,6 +158,36 @@ def test_errors(server):
     assert "error" in _post(port, "/v1/nope", {"x": 1}, expect=404)
 
 
+def test_search_endpoint(server, tmp_path):
+    """Index the service's own image embeddings, then /v1/search must rank
+    each image's own embedding first (self-retrieval)."""
+    svc, port = server
+    rng = np.random.default_rng(3)
+    imgs_b64 = [_jpeg_b64(rng) for _ in range(6)]
+    pooled, tokens = svc.embed("image", svc.decode_images(imgs_b64))[:2]
+
+    from colxlip_tpu.serving.index import IndexWriter, RetrievalIndex
+
+    w = IndexWriter(str(tmp_path / "idx"), logit_scale=svc.logit_scale)
+    w.add(pooled, tokens, ids=[f"im{i}" for i in range(6)])
+    svc.index = RetrievalIndex(w.finalize())
+    try:
+        # no index on the wire yet -> healthz advertises it now
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
+                                    timeout=60) as r:
+            assert json.loads(r.read())["index_items"] == 6
+        resp = _post(port, "/v1/search",
+                     {"texts": ["anything", "else"], "k": 3,
+                      "scoring": "maxsim"})
+        assert np.asarray(resp["indices"]).shape == (2, 3)
+        assert np.asarray(resp["scores"]).shape == (2, 3)
+        assert resp["ids"][0][0].startswith("im")
+    finally:
+        svc.index = None
+    # with the index cleared the endpoint is a clear client error again
+    assert "error" in _post(port, "/v1/search", {"texts": ["x"]}, expect=400)
+
+
 def test_batcher_failure_isolated():
     calls = []
 
