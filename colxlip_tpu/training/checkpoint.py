@@ -515,6 +515,156 @@ def load_pt_checkpoint(
     return params
 
 
+# ---------------------------------------------------------------------------
+# torch .pt export (inverse of the import above)
+# ---------------------------------------------------------------------------
+#
+# Lets a model trained HERE be handed to reference-ecosystem users: the
+# emitted state dict uses the exact OpenCLIP/ColXLIP layout the reference
+# loads (factory.py:159-201) — flat text tower, packed in_proj, Sequential
+# token heads — and round-trips through convert_openclip_state_dict exactly.
+
+_EXPORT_BLOCK = {
+    ("ln_1", "scale"): ("ln_1.weight", False),
+    ("ln_1", "bias"): ("ln_1.bias", False),
+    ("ln_2", "scale"): ("ln_2.weight", False),
+    ("ln_2", "bias"): ("ln_2.bias", False),
+    ("attn", "in_proj", "kernel"): ("attn.in_proj_weight", True),
+    ("attn", "in_proj", "bias"): ("attn.in_proj_bias", False),
+    ("attn", "out_proj", "kernel"): ("attn.out_proj.weight", True),
+    ("attn", "out_proj", "bias"): ("attn.out_proj.bias", False),
+    ("mlp", "c_fc", "kernel"): ("mlp.c_fc.weight", True),
+    ("mlp", "c_fc", "bias"): ("mlp.c_fc.bias", False),
+    ("mlp", "c_proj", "kernel"): ("mlp.c_proj.weight", True),
+    ("mlp", "c_proj", "bias"): ("mlp.c_proj.bias", False),
+    ("ls_1", "gamma"): ("ls_1.gamma", False),
+    ("ls_2", "gamma"): ("ls_2.gamma", False),
+}
+
+_TOKEN_HEAD_EXPORT = {
+    ("ln_in", "scale"): ("0.weight", False), ("ln_in", "bias"): ("0.bias", False),
+    ("proj", "kernel"): ("1.weight", True), ("proj", "bias"): ("1.bias", False),
+    ("ln_out", "scale"): ("3.weight", False), ("ln_out", "bias"): ("3.bias", False),
+}
+
+_RESBLOCK_NAME_RE = re.compile(r"^resblocks_(\d+)$")
+
+
+def _leaves(tree: Dict, prefix: Tuple[str, ...] = ()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _leaves(v, prefix + (k,))
+        else:
+            yield prefix + (k,), v
+
+
+def _export_transformer(blocks: Dict, torch_prefix: str, out: Dict,
+                        unmapped: list) -> None:
+    for name, block in blocks.items():
+        m = _RESBLOCK_NAME_RE.match(name)
+        if not m:
+            unmapped.append(torch_prefix + name)
+            continue
+        for sub, v in _leaves(block):
+            conv = _EXPORT_BLOCK.get(sub)
+            if conv is None:
+                unmapped.append(f"{torch_prefix}{m.group(1)}.{'.'.join(sub)}")
+                continue
+            key, transpose = conv
+            out[f"{torch_prefix}{m.group(1)}.{key}"] = (
+                np.asarray(v).T if transpose else np.asarray(v))
+
+
+def export_pt_state_dict(params: Dict) -> Dict[str, np.ndarray]:
+    """flax params tree -> OpenCLIP/ColXLIP-layout numpy state dict.
+
+    Covers the CLIP/ColXLIP families (both towers, token heads, logit
+    scale/bias, bare-Parameter or Dense text projection). CoCa trees (cls_emb
+    / text_decoder) are refused: the reference never round-trips CoCa and
+    the decoder layout is oracle-test-only here.
+    """
+    p = _to_pure_dict(params)
+    p = p.get("params", p)
+    if "text_decoder" in p or "cls_emb" in p.get("text", {}):
+        raise ValueError("CoCa export to .pt is not supported (CLIP/ColXLIP "
+                         "families only)")
+    out: Dict[str, np.ndarray] = {}
+    unmapped: list = []
+
+    vis = p.get("visual", {})
+    for k, v in vis.items():
+        v_np = None if isinstance(v, dict) else np.asarray(v)
+        if k == "conv1":
+            kernel = np.asarray(v["kernel"])  # [(ph pw c), out]
+            width = kernel.shape[1]
+            ph = int(round((kernel.shape[0] / 3) ** 0.5))
+            if ph * ph * 3 != kernel.shape[0]:
+                raise ValueError(f"non-square patchify kernel: {kernel.shape}")
+            out["visual.conv1.weight"] = (
+                kernel.reshape(ph, ph, 3, width).transpose(3, 2, 0, 1))
+        elif k in ("class_embedding", "positional_embedding", "proj"):
+            out[f"visual.{k}"] = v_np
+        elif k in ("ln_pre", "ln_post"):
+            out[f"visual.{k}.weight"] = np.asarray(v["scale"])
+            out[f"visual.{k}.bias"] = np.asarray(v["bias"])
+        elif k == "transformer":
+            _export_transformer(v, "visual.transformer.resblocks.", out,
+                                unmapped)
+        else:
+            unmapped.append(f"visual.{k}")
+
+    txt = p.get("text", {})
+    for k, v in txt.items():
+        if k == "token_embedding":
+            out["token_embedding.weight"] = np.asarray(v["embedding"])
+        elif k == "positional_embedding":
+            out["positional_embedding"] = np.asarray(v)
+        elif k == "ln_final":
+            out["ln_final.weight"] = np.asarray(v["scale"])
+            out["ln_final.bias"] = np.asarray(v["bias"])
+        elif k == "text_projection":
+            if isinstance(v, dict):  # Dense variant
+                out["text_projection.weight"] = np.asarray(v["kernel"]).T
+                if "bias" in v:
+                    out["text_projection.bias"] = np.asarray(v["bias"])
+            else:
+                out["text_projection"] = np.asarray(v)
+        elif k == "transformer":
+            _export_transformer(v, "transformer.resblocks.", out, unmapped)
+        else:
+            unmapped.append(f"text.{k}")
+
+    for head in ("vision_token_layer", "text_token_layer"):
+        for sub, v in _leaves(p.get(head, {})):
+            conv = _TOKEN_HEAD_EXPORT.get(sub)
+            if conv is None:
+                unmapped.append(f"{head}.{'.'.join(sub)}")
+                continue
+            key, transpose = conv
+            out[f"{head}.{key}"] = np.asarray(v).T if transpose else np.asarray(v)
+
+    if "logit_scale" in p:
+        out["logit_scale"] = np.asarray(p["logit_scale"]).reshape(())
+    if "logit_bias" in p:
+        out["logit_bias"] = np.asarray(p["logit_bias"]).reshape(())
+    if unmapped:
+        raise ValueError(f"params with no .pt export mapping: {unmapped[:8]}"
+                         + ("..." if len(unmapped) > 8 else ""))
+    return {k: v.astype(np.float32) for k, v in out.items()}
+
+
+def save_pt_checkpoint(path: str, params: Dict, *, epoch: int = 0,
+                       name: str = "") -> str:
+    """Write a reference-loadable .pt: {'state_dict', 'epoch', 'name'} with
+    torch tensors (reference main.py:413-422 checkpoint dict shape)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_pt_state_dict(params).items()}
+    torch.save({"state_dict": sd, "epoch": epoch, "name": name}, path)
+    return path
+
+
 def _merge_trees(base: Dict, overlay: Dict) -> Dict:
     out = dict(base)
     for k, v in overlay.items():
