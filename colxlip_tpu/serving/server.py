@@ -160,17 +160,21 @@ def _monotonic() -> float:
 class InferenceEngine:
     """Jitted bucketed encode for one model/params pair.
 
-    Returns (pooled_l2_normalized, token_features) per tower; for plain CLIP
-    models the token features are zero-length placeholders so the batcher
-    contract stays uniform.
+    Returns (pooled_l2_normalized, token_features) per tower (a 1-tuple for
+    plain CLIP models, which have no token heads). Batches shard over ALL
+    local devices via the same ``local_shard_scheme`` the eval encoder uses
+    (the towers are per-sample: batch-parallel, zero collectives); on a
+    single chip the scheme is a no-op.
     """
 
     def __init__(self, model, params, max_batch: int = 64):
         import jax
 
+        from ..training.evaluate import local_shard_scheme
+
         self.model = model
         self.max_batch = max_batch
-        self.params = params
+        self._ship, self.params, self.n_devices = local_shard_scheme(params)
 
         @jax.jit
         def encode_text(p, texts):
@@ -190,13 +194,23 @@ class InferenceEngine:
 
         self._encode = {"text": encode_text, "image": encode_image}
 
-    def run(self, kind: str, batch: np.ndarray) -> Tuple[np.ndarray, ...]:
+    def run(self, kind: str, batch: np.ndarray) -> Tuple:
+        """Returns a tuple of DEVICE arrays sliced to the true row count.
+
+        Outputs deliberately stay on device: a wave's token-feature tensor
+        is tens of MB, and most requests only serialize the pooled rows —
+        callers ``np.asarray`` exactly what they return, so host transfer
+        is per-field, not per-wave (on the dev relay at 14 MB/s an eager
+        full-tuple fetch measured 154 txt/s vs the raw 9.7k bound).
+        """
+        import jax.numpy as jnp
+
         n = batch.shape[0]
         if n > self.max_batch:
             # split oversize requests into full device waves
             parts = [self.run(kind, batch[i:i + self.max_batch])
                      for i in range(0, n, self.max_batch)]
-            return tuple(np.concatenate(cols) for cols in zip(*parts))
+            return tuple(jnp.concatenate(cols) for cols in zip(*parts))
         b = next_bucket(n, self.max_batch)
         if b != n:
             pad = np.zeros((b - n,) + batch.shape[1:], batch.dtype)
@@ -204,8 +218,28 @@ class InferenceEngine:
                 pad[:, 0] = 49406  # SOT: keep the argmax-EOT pool well-defined
                 pad[:, 1] = 49407
             batch = np.concatenate([batch, pad])
-        out = self._encode[kind](self.params, batch)
-        return tuple(np.asarray(o[:n], np.float32) for o in out)
+        # ship() may pad further to a device-count multiple — still one
+        # static shape per bucket, so each bucket compiles exactly once
+        out = self._encode[kind](self.params, self._ship(batch))
+        return tuple(o[:n] for o in out)
+
+    def warmup(self, shapes: Dict[str, Tuple[int, ...]]) -> None:
+        """Compile every bucket of the ladder for the given per-kind item
+        shapes (e.g. {'text': (77,), 'image': (224, 224, 3)}) so no request
+        wave ever hits a cold compile."""
+        for kind, shape in shapes.items():
+            b = 1
+            while True:
+                dtype = np.int32 if kind == "text" else np.float32
+                batch = np.zeros((min(b, self.max_batch),) + tuple(shape),
+                                 dtype)
+                if kind == "text":
+                    batch[:, 0] = 49406
+                    batch[:, 1] = 49407
+                np.asarray(self.run(kind, batch)[0])
+                if b >= self.max_batch:
+                    break
+                b *= 2
 
 
 class ColXLIPService:
@@ -280,8 +314,12 @@ class ColXLIPService:
         f_txt = self._batchers["text"].submit(tokens)
         f_img = self._batchers["image"].submit(imgs)
         txt_out, img_out = f_txt.result(timeout=120), f_img.result(timeout=120)
-        txt_feats, txt_tokens = txt_out[0], (txt_out[1] if len(txt_out) > 1 else None)
-        img_feats, img_tokens = img_out[0], (img_out[1] if len(img_out) > 1 else None)
+        txt_feats = np.asarray(txt_out[0], np.float32)
+        img_feats = np.asarray(img_out[0], np.float32)
+        txt_tokens = (np.asarray(txt_out[1], np.float32)
+                      if len(txt_out) > 1 else None)
+        img_tokens = (np.asarray(img_out[1], np.float32)
+                      if len(img_out) > 1 else None)
         from ..training.evaluate import score_similarity
 
         scoring = scoring or self.scoring
@@ -304,8 +342,8 @@ class ColXLIPService:
                              "with --index <dir>)")
         tokens = self.tokenize(texts)
         out = self._batchers["text"].submit(tokens).result(timeout=120)
-        pooled = out[0]
-        q_tokens = out[1] if len(out) > 1 else None
+        pooled = np.asarray(out[0], np.float32)
+        q_tokens = (np.asarray(out[1], np.float32) if len(out) > 1 else None)
         scoring = scoring or ("maxsim" if q_tokens is not None else "global")
         text_mask = None
         if self.mask_mode == "valid" and scoring in ("maxsim", "mixed"):
@@ -367,9 +405,11 @@ class _Handler(BaseHTTPRequestHandler):
                 if not isinstance(texts, list) or not texts:
                     raise ValueError("'texts' must be a non-empty list")
                 out = self.service.embed("text", self.service.tokenize(texts))
-                resp = {"embeddings": out[0].tolist(), "count": len(texts)}
+                resp = {"embeddings": np.asarray(out[0], np.float32).tolist(),
+                        "count": len(texts)}
                 if req.get("return_tokens") and len(out) > 1:
-                    resp["token_embeddings"] = out[1].tolist()
+                    resp["token_embeddings"] = np.asarray(
+                        out[1], np.float32).tolist()
                 return self._send(200, resp)
             if self.path == "/v1/embed/image":
                 imgs = req["images_b64"]
@@ -377,9 +417,11 @@ class _Handler(BaseHTTPRequestHandler):
                     raise ValueError("'images_b64' must be a non-empty list")
                 out = self.service.embed(
                     "image", self.service.decode_images(imgs))
-                resp = {"embeddings": out[0].tolist(), "count": len(imgs)}
+                resp = {"embeddings": np.asarray(out[0], np.float32).tolist(),
+                        "count": len(imgs)}
                 if req.get("return_tokens") and len(out) > 1:
-                    resp["token_embeddings"] = out[1].tolist()
+                    resp["token_embeddings"] = np.asarray(
+                        out[1], np.float32).tolist()
                 return self._send(200, resp)
             if self.path == "/v1/score":
                 sim = self.service.score(
