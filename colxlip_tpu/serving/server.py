@@ -35,6 +35,11 @@ Endpoints (all JSON):
                            -> {"indices": [[...]], "scores": [[...]],
                                "ids": [[...]]?}  — two-stage late-interaction
                            corpus search (serving/index.py)
+  POST /v1/caption         {"images_b64": [...], "method": "greedy"|"top_k"
+                            |"top_p", ...}          (CoCa models only)
+                           -> {"captions": [...]}
+  GET  /metrics            request/error counts, latency sums, batcher wave
+                           stats (JSON)
 
 Scoring semantics are identical to the eval harness
 (``training/evaluate.score_similarity`` — reference train.py:588-614 global
@@ -93,6 +98,8 @@ class DynamicBatcher:
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name=name)
         self._stopping = False
+        self._stats_lock = threading.Lock()
+        self.stats = {"waves": 0, "items": 0, "max_wave": 0, "failures": 0}
         self._thread.start()
 
     def submit(self, payload: np.ndarray) -> Future:
@@ -145,8 +152,15 @@ class DynamicBatcher:
                     n = w.payload.shape[0]
                     w.future.set_result(tuple(o[i:i + n] for o in outs))
                     i += n
+                with self._stats_lock:
+                    self.stats["waves"] += 1
+                    self.stats["items"] += batch.shape[0]
+                    self.stats["max_wave"] = max(self.stats["max_wave"],
+                                                 batch.shape[0])
             except Exception as e:  # noqa: BLE001 — fail the wave, keep serving
                 logger.exception("batch wave failed")
+                with self._stats_lock:
+                    self.stats["failures"] += 1
                 for w in wave:
                     if not w.future.done():
                         w.future.set_exception(e)
@@ -265,6 +279,12 @@ class ColXLIPService:
                 params = init_params(model, cfg)
         self.model_name = model_name
         self.cfg = cfg
+        self._model = model
+        self._params = params
+        self.is_coca = type(model).__name__ == "CoCa"
+        self._metrics_lock = threading.Lock()
+        self.request_counts: Dict[str, int] = {}
+        self.request_seconds: Dict[str, float] = {}
         self.scoring = scoring
         self.alpha = alpha
         self.mask_mode = mask_mode
@@ -356,6 +376,42 @@ class ColXLIPService:
             mask_mode=self.mask_mode, text_mask=text_mask,
         )
 
+    def caption(self, images_b64: List[str], *, method: str = "greedy",
+                max_len: Optional[int] = None, top_k: int = 50,
+                top_p: float = 0.9, temperature: float = 1.0,
+                seed: int = 0) -> List[str]:
+        """CoCa models only: decode captions for the given images."""
+        if not self.is_coca:
+            raise ValueError(f"{self.model_name!r} has no caption decoder — "
+                             "captioning needs a CoCa model")
+        import jax
+
+        from .generate import generate_captions, tokens_to_text
+
+        imgs = self.decode_images(images_b64)
+        tokens = generate_captions(
+            self._model, self._params, imgs, method=method, max_len=max_len,
+            top_k=top_k, top_p=top_p, temperature=temperature,
+            rng=jax.random.PRNGKey(seed))
+        return tokens_to_text(tokens, self.tokenizer)
+
+    def record(self, path: str, seconds: float) -> None:
+        with self._metrics_lock:
+            self.request_counts[path] = self.request_counts.get(path, 0) + 1
+            self.request_seconds[path] = (
+                self.request_seconds.get(path, 0.0) + seconds)
+
+    def metrics(self) -> dict:
+        with self._metrics_lock:
+            counts = dict(self.request_counts)
+            seconds = {k: round(v, 4) for k, v in self.request_seconds.items()}
+        return {
+            "requests": counts,
+            "request_seconds_total": seconds,
+            "batcher": {k: dict(b.stats) for k, b in self._batchers.items()},
+            "index_items": len(self.index) if self.index is not None else None,
+        }
+
     def stop(self) -> None:
         for b in self._batchers.values():
             b.stop()
@@ -384,6 +440,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     # ---- routes ----
     def do_GET(self):  # noqa: N802 — http.server API
+        if self.path == "/metrics":
+            return self._send(200, self.service.metrics())
         if self.path != "/healthz":
             return self._send(404, {"error": f"unknown path {self.path}"})
         svc = self.service
@@ -398,6 +456,13 @@ class _Handler(BaseHTTPRequestHandler):
         })
 
     def do_POST(self):  # noqa: N802 — http.server API
+        t0 = _monotonic()
+        try:
+            self._route_post()
+        finally:
+            self.service.record(self.path, _monotonic() - t0)
+
+    def _route_post(self):
         try:
             req = self._read_json()
             if self.path == "/v1/embed/text":
@@ -442,6 +507,17 @@ class _Handler(BaseHTTPRequestHandler):
                 if ids is not None:
                     resp["ids"] = ids
                 return self._send(200, resp)
+            if self.path == "/v1/caption":
+                caps = self.service.caption(
+                    req["images_b64"],
+                    method=req.get("method", "greedy"),
+                    max_len=req.get("max_len"),
+                    top_k=int(req.get("top_k", 50)),
+                    top_p=float(req.get("top_p", 0.9)),
+                    temperature=float(req.get("temperature", 1.0)),
+                    seed=int(req.get("seed", 0)),
+                )
+                return self._send(200, {"captions": caps})
             return self._send(404, {"error": f"unknown path {self.path}"})
         except (KeyError, ValueError, TypeError) as e:
             return self._send(400, {"error": str(e)})

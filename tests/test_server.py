@@ -188,6 +188,53 @@ def test_search_endpoint(server, tmp_path):
     assert "error" in _post(port, "/v1/search", {"texts": ["x"]}, expect=400)
 
 
+def test_metrics_endpoint(server):
+    _, port = server
+    _post(port, "/v1/embed/text", {"texts": ["warm the counters"]})
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics",
+                                timeout=60) as r:
+        m = json.loads(r.read())
+    assert m["requests"]["/v1/embed/text"] >= 1
+    assert m["request_seconds_total"]["/v1/embed/text"] > 0
+    assert m["batcher"]["text"]["waves"] >= 1
+    assert m["batcher"]["text"]["items"] >= m["batcher"]["text"]["waves"]
+
+
+def test_caption_requires_coca(server):
+    _, port = server
+    rng = np.random.default_rng(5)
+    resp = _post(port, "/v1/caption", {"images_b64": [_jpeg_b64(rng)]},
+                 expect=400)
+    assert "CoCa" in resp["error"]
+
+
+@pytest.fixture(scope="module")
+def coca_server():
+    svc = ColXLIPService("coca-S-test", None, max_batch=4, max_wait_ms=2.0)
+    httpd = make_server(svc, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    yield svc, port
+    httpd.shutdown()
+    svc.stop()
+
+
+def test_caption_endpoint(coca_server):
+    svc, port = coca_server
+    rng = np.random.default_rng(6)
+    imgs = [_jpeg_b64(rng, size=svc.cfg.vision_cfg.image_size),
+            _jpeg_b64(rng, size=svc.cfg.vision_cfg.image_size)]
+    resp = _post(port, "/v1/caption",
+                 {"images_b64": imgs, "method": "greedy", "max_len": 8})
+    caps = resp["captions"]
+    assert len(caps) == 2
+    assert all(isinstance(c, str) for c in caps)
+    # deterministic: same request, same captions
+    resp2 = _post(port, "/v1/caption",
+                  {"images_b64": imgs, "method": "greedy", "max_len": 8})
+    assert resp2["captions"] == caps
+
+
 def test_batcher_failure_isolated():
     calls = []
 
