@@ -552,6 +552,10 @@ def main(argv=None):
     p.add_argument("--index", default=None,
                    help="retrieval-index dir (serving/index.py) to enable "
                         "POST /v1/search")
+    p.add_argument("--warmup", action="store_true",
+                   help="pre-compile the whole power-of-two bucket ladder "
+                        "for both towers before accepting traffic (first "
+                        "requests otherwise pay the XLA compile)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -566,6 +570,14 @@ def main(argv=None):
         quick_gelu=True if args.force_quick_gelu else None,
         index_dir=args.index,
     )
+    if args.warmup:
+        s = svc.cfg.vision_cfg.image_size
+        s = s if isinstance(s, int) else s[0]
+        logger.info("warming the bucket ladder (text + image towers)...")
+        svc.engine.warmup({
+            "text": (svc.cfg.text_cfg.context_length,),
+            "image": (s, s, 3),
+        })
     server = make_server(svc, args.host, args.port)
     logger.info("serving %s on %s:%d", args.model, *server.server_address)
     try:
