@@ -350,7 +350,13 @@ class MultiHeadAttention(nn.Module):
             )(x)
             from ..ops.attention import resolve_impl
 
-            if mask is None and resolve_impl(self.attn_impl) == "fused":
+            # the Pallas kernel needs concrete dims (its grid/block choice is
+            # a function of B); under jax.export symbolic shapes (serving/
+            # aot.py symbolic batch) fall back to the XLA path, which lowers
+            # shape-polymorphically
+            concrete = all(isinstance(s, int) for s in (b, n))
+            if (mask is None and concrete
+                    and resolve_impl(self.attn_impl) == "fused"):
                 # TPU path: fused packed-QKV Pallas kernel — consumes the
                 # in_proj output directly (no split/transpose), materializes
                 # no [B,H,N,N] tensor fwd or bwd (ops/fused_attention.py)

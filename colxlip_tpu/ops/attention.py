@@ -181,7 +181,12 @@ def multi_head_attention(
         # exactly how round-2 perf numbers go wrong — fail loudly
         raise ValueError(f"unknown attention impl {impl!r}; one of {sorted(known)}")
     if mask is None:
-        if impl == "fused" and q.shape[1] == k.shape[1] == v.shape[1]:
+        # the Pallas kernel's grid/block choice is a function of the concrete
+        # shape; under jax.export symbolic dims (serving/aot.py symbolic
+        # batch) fall through to the shape-polymorphic XLA path
+        concrete = all(isinstance(s, int) for s in q.shape)
+        if (impl == "fused" and concrete
+                and q.shape[1] == k.shape[1] == v.shape[1]):
             # repack to [B, N, 3*H*D] for the packed kernel (self-attention
             # only: the kernel derives one N from the packed tensor, so
             # cross-attention — AttentionalPooler, CoCa — with differing
