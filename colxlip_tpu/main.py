@@ -361,19 +361,26 @@ def main(argv=None) -> int:
         t_params = _load_weights(t_model, t_cfg, args.distill_pretrained, seed=args.seed)
         teacher = (t_model, t_params)
         logger.info("Distilling from %s (%s)", args.distill_model, args.distill_pretrained)
-    if mp > 1:
-        # tensor parallelism: Megatron weight sharding over the 'model' axis
-        # + GSPMD collectives (parallel/gspmd.py). Configs the GSPMD step
-        # cannot express hard-error inside make_train_step_gspmd.
+    if args.fsdp and (mesh is None or data_devices < 2):
+        logger.error("--fsdp shards state over the data axis and needs a "
+                     "multi-device mesh with data size >= 2 (have %d device"
+                     "(s), data axis %d)", num_devices, data_devices)
+        return 1
+    if mp > 1 or args.fsdp:
+        # GSPMD step: Megatron weight sharding over the 'model' axis and/or
+        # ZeRO-3 param+opt sharding over the 'data' axis (parallel/gspmd.py).
+        # Configs the GSPMD step cannot express hard-error inside
+        # make_train_step_gspmd.
         from .parallel.gspmd import make_train_step_gspmd
 
         try:
             step_fn = make_train_step_gspmd(model, tx, loss_cfg, mesh,
-                                            teacher=teacher)
+                                            teacher=teacher, fsdp=args.fsdp)
         except ValueError as e:
             logger.error("%s", e)
             return 1
-        logger.info("tensor parallel: tp=%d x dp=%d GSPMD mesh", mp, data_devices)
+        logger.info("GSPMD step: tp=%d x dp=%d%s", mp, data_devices,
+                    " + fsdp" if args.fsdp else "")
     else:
         step_fn = make_train_step(model, tx, loss_cfg, mesh=mesh, teacher=teacher)
 
@@ -385,10 +392,10 @@ def main(argv=None) -> int:
         s = restored["state"]
         state = jax.tree.map(jnp.asarray, TrainState(s["step"], s["params"], s["opt_state"]))
         logger.info("=> resuming checkpoint '%s' (epoch %d)", resume_from, start_epoch)
-    if mesh is not None and mp > 1:
+    if mesh is not None and (mp > 1 or args.fsdp):
         from .parallel.gspmd import shard_state
 
-        state, _ = shard_state(state, mesh)
+        state, _ = shard_state(state, mesh, fsdp=args.fsdp)
     elif mesh is not None:
         state = replicate_state(state, mesh)
 

@@ -86,25 +86,52 @@ def _spec_for(path_names, leaf, model_axis: Optional[str]) -> P:
     return P()
 
 
-def partition_params(params, mesh: Mesh):
+def _fsdp_extend(spec: P, shape, data_axis_size: int) -> P:
+    """Add ZeRO-3-style parameter sharding over the data axis.
+
+    Picks the LARGEST dim not already sharded (by the model axis) whose size
+    divides over the data axis; leaves the spec unchanged when none does
+    (small pos-embed dims like 197, scalars). XLA then stores each param /
+    adam moment as a 1/dp shard per device and inserts the all-gather at
+    use and the reduce-scatter on the gradient — the GSPMD rendering of the
+    sharded-state memory scaling the torch world gets from FSDP/ZeRO (the
+    reference's DDP, SURVEY §2.3, replicates state on every rank).
+    """
+    if data_axis_size <= 1 or not shape:
+        return spec
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    cands = [i for i, (s, e) in enumerate(zip(shape, entries))
+             if e is None and s >= data_axis_size and s % data_axis_size == 0]
+    if not cands:
+        return spec
+    entries[max(cands, key=lambda i: shape[i])] = DATA_AXIS
+    return P(*entries)
+
+
+def partition_params(params, mesh: Mesh, fsdp: bool = False):
     """PartitionSpec tree for the model params over the mesh."""
     model_axis = MODEL_AXIS if MODEL_AXIS in mesh.axis_names else None
+    data_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(DATA_AXIS, 1)
 
     def spec(path, leaf):
         names = [getattr(k, "key", str(k)) for k in path]
-        return _spec_for(names, leaf, model_axis)
+        s = _spec_for(names, leaf, model_axis)
+        if fsdp:
+            s = _fsdp_extend(s, leaf.shape, data_size)
+        return s
 
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
-def shard_state(state: TrainState, mesh: Mesh) -> Tuple[TrainState, Any]:
+def shard_state(state: TrainState, mesh: Mesh,
+                fsdp: bool = False) -> Tuple[TrainState, Any]:
     """Place params/opt state on the mesh per the partition rules.
 
     The adam moments in opt_state are param-shaped; they get the matching
     param's spec (matched by shape — optax state trees are not structurally
     identical to the param tree), everything else is replicated.
     """
-    param_specs = partition_params(state.params, mesh)
+    param_specs = partition_params(state.params, mesh, fsdp=fsdp)
 
     def place(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -146,6 +173,7 @@ def make_train_step_gspmd(
     mesh: Mesh,
     donate: bool = True,
     teacher: Optional[Tuple[Any, Any]] = None,
+    fsdp: bool = False,
 ):
     """fn(state, images, texts) -> (state, metrics), GSPMD-partitioned.
 
@@ -153,6 +181,12 @@ def make_train_step_gspmd(
     gather-with-grad semantics; XLA inserts the collectives. The returned
     callable enters the mesh context itself, so callers (the driver epoch
     loop) need no ``set_mesh`` wrapping.
+
+    ``fsdp=True`` constrains the UPDATED params back onto the ZeRO-3 specs
+    (``partition_params(fsdp=True)``): without the output constraint XLA is
+    free to keep the post-update params fully gathered, silently forfeiting
+    the sharded-state memory win on the next step. Pair with
+    ``shard_state(..., fsdp=True)`` so the incoming state matches.
     """
     validate_gspmd_config(cfg)
     forward = build_forward(model, cfg, teacher)
@@ -177,6 +211,12 @@ def make_train_step_gspmd(
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         if cfg.clamp_logit_scale:
             new_params = _clamp_logit_scale(new_params)
+        if fsdp:
+            specs = partition_params(new_params, mesh, fsdp=True)
+            new_params = jax.tree.map(
+                lambda x, s: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, s)),
+                new_params, specs)
         metrics = dict(losses)
         metrics["logit_scale"] = logit_scale
         metrics["grad_norm"] = optax_global_norm(grads)

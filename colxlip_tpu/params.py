@@ -215,6 +215,10 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--dist-process-id", type=int, default=None)
     parser.add_argument("--model-parallel", type=int, default=1,
                         help="mesh model-axis size (tensor sharding)")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="ZeRO-3-style param+optimizer sharding over the "
+                             "data axis (GSPMD step; composes with "
+                             "--model-parallel)")
 
     # misc
     parser.add_argument("--seed", type=int, default=0)

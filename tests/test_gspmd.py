@@ -83,3 +83,67 @@ def test_gspmd_loss_decreases_on_tp_mesh(setup):
             losses.append(float(m["total_loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+def test_fsdp_partition_rules(setup):
+    """ZeRO-3 specs: largest divisible dim gains 'data'; model-axis dims
+    untouched; indivisible dims (pos embed N=17) skip to a divisible one."""
+    model, tx, state, imgs, txts = setup
+    mesh = create_mesh(8, model_parallel=4)  # data axis size 2
+    specs = partition_params(state.params, mesh, fsdp=True)
+    p = specs["params"]["visual"]["transformer"]["resblocks_0"]
+    # TP column/row rules keep their axis; fsdp takes the other dim
+    assert p["attn"]["in_proj"]["kernel"] == P(None, "model", "data") or \
+        p["attn"]["in_proj"]["kernel"] == P("data", "model")
+    assert p["attn"]["out_proj"]["kernel"] == P("model", "data")
+    # biases shard over data
+    assert p["mlp"]["c_fc"]["bias"] == P("data")
+    # scalars stay replicated
+    assert specs["params"]["logit_scale"] == P()
+
+    # dp-only mesh: kernels shard their largest dim over all 8
+    mesh_dp = create_mesh(8)
+    specs_dp = partition_params(state.params, mesh_dp, fsdp=True)
+    k = specs_dp["params"]["visual"]["transformer"]["resblocks_0"]["mlp"]["c_fc"]["kernel"]
+    assert k == P(None, "data")  # [128, 512] -> shard 512
+
+
+def test_fsdp_state_is_actually_sharded(setup):
+    model, tx, state, imgs, txts = setup
+    mesh = create_mesh(8)
+    sharded, specs = shard_state(state, mesh, fsdp=True)
+    kern = sharded.params["params"]["visual"]["transformer"][
+        "resblocks_0"]["mlp"]["c_fc"]["kernel"]
+    full = kern.shape
+    shard_shape = kern.addressable_shards[0].data.shape
+    assert shard_shape == (full[0], full[1] // 8)
+    # adam moments follow the param specs (path-suffix matching)
+    mu = jax.tree_util.tree_leaves_with_path(sharded.opt_state)
+    big = [x for p, x in mu if getattr(x, "ndim", 0) == 2
+           and x.shape == full and "visual" in str(p)]
+    assert big and any(
+        m.addressable_shards[0].data.shape == shard_shape for m in big)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model_parallel", [1, 2])
+def test_fsdp_step_matches_single_device(setup, model_parallel):
+    """FSDP (optionally composed with TP) must be a pure memory layout
+    change: losses and updated params match the unsharded step."""
+    model, tx, state, imgs, txts = setup
+    cfg = TrainStepConfig(loss_type="colclip", maxsim_impl="xla",
+                          gather_with_grad=True)
+    s1, m1 = make_train_step(model, tx, cfg, donate=False)(state, imgs, txts)
+
+    mesh = create_mesh(8, model_parallel=model_parallel)
+    sharded, _ = shard_state(state, mesh, fsdp=True)
+    step = make_train_step_gspmd(model, tx, cfg, mesh, donate=False, fsdp=True)
+    sN, mN = step(sharded, imgs, txts)
+    np.testing.assert_allclose(
+        float(m1["total_loss"]), float(mN["total_loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(sN.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-3, atol=3e-5)
+    # the UPDATED params keep the ZeRO layout (the output constraint):
+    kern = sN.params["params"]["visual"]["transformer"][
+        "resblocks_0"]["mlp"]["c_fc"]["kernel"]
+    assert "data" in tuple(kern.sharding.spec), kern.sharding

@@ -142,6 +142,62 @@ def test_main_model_parallel_rejects_unshardable(tmp_path):
     assert main(argv[:-1]) == 1
 
 
+@pytest.mark.slow
+def test_main_fsdp(tmp_path):
+    """--fsdp trains through the GSPMD step with ZeRO-3 state sharding; a
+    pure memory-layout change, so the loss trajectory must match dp."""
+    def run(name, extra):
+        logs = str(tmp_path / name)
+        argv = [
+            "--model", "ViT-S-16-test",
+            "--dataset-type", "synthetic",
+            "--train-num-samples", "64",
+            "--batch-size", "2",
+            "--epochs", "1",
+            "--lr", "1e-3",
+            "--warmup", "2",
+            "--precision", "fp32",
+            "--logs", logs,
+            "--name", name,
+            "--workers", "0",
+            "--log-every-n-steps", "1",
+            "--save-frequency", "0",
+            "--maxsim-impl", "xla",
+            "--seed", "0",
+            "--report-to", "jsonl",
+            "--gather-with-grad",
+        ] + extra
+        assert main(argv) == 0
+        return [json.loads(l)["total_loss"] for l in
+                open(os.path.join(logs, name, "metrics.jsonl"))]
+
+    dp = run("dp", [])
+    fs = run("fs", ["--fsdp"])
+    assert len(dp) == len(fs) == 4
+    np.testing.assert_allclose(dp, fs, rtol=5e-3)
+    assert np.isfinite(fs).all()
+
+
+def test_main_fsdp_rejects_single_device(tmp_path, monkeypatch):
+    """--fsdp on a 1-wide data axis has nothing to shard: refuse loudly."""
+    import colxlip_tpu.main as main_mod
+    monkeypatch.setattr(main_mod.jax, "device_count", lambda: 1)
+    monkeypatch.setattr(main_mod.jax, "local_device_count", lambda: 1)
+    argv = [
+        "--model", "ViT-S-16-test",
+        "--dataset-type", "synthetic",
+        "--train-num-samples", "16",
+        "--batch-size", "2",
+        "--epochs", "1",
+        "--precision", "fp32",
+        "--logs", str(tmp_path),
+        "--name", "fsdpbad",
+        "--workers", "0",
+        "--fsdp",
+    ]
+    assert main(argv) == 1
+
+
 def test_get_latest_checkpoint_resolution(tmp_path):
     """Crash-mid-epoch resolution (VERDICT weak #8): a stale epoch_latest
     (older mtime than the newest numbered save) must NOT win resume-latest;
