@@ -32,6 +32,7 @@ from .training.checkpoint import (
     get_latest_checkpoint,
     get_latest_checkpoint_remote,
     load_native_checkpoint,
+    read_step_in_epoch,
     rotate_checkpoints,
     save_checkpoint,
     save_checkpoint_async,
@@ -311,6 +312,7 @@ def main(argv=None) -> int:
             context_length=cfg.text_cfg.context_length,
             num_sampled_captions=args.num_sampled_captions,
             seed=args.seed, num_samples=num_samples,
+            rank=jax.process_index(), world_size=jax.process_count(),
         ))
         num_batches = len(train_data)
     else:
@@ -386,12 +388,17 @@ def main(argv=None) -> int:
 
     state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
     start_epoch = 0
+    resume_step_in_epoch = 0
     if resume_from:
         restored = load_native_checkpoint(resume_from, template=state._asdict())
         start_epoch = int(restored["epoch"])
+        resume_step_in_epoch = read_step_in_epoch(resume_from)
         s = restored["state"]
         state = jax.tree.map(jnp.asarray, TrainState(s["step"], s["params"], s["opt_state"]))
-        logger.info("=> resuming checkpoint '%s' (epoch %d)", resume_from, start_epoch)
+        logger.info("=> resuming checkpoint '%s' (epoch %d%s)", resume_from,
+                    start_epoch,
+                    f", step {resume_step_in_epoch}" if resume_step_in_epoch
+                    else "")
     if mesh is not None and (mp > 1 or args.fsdp):
         from .parallel.gspmd import shard_state
 
@@ -406,12 +413,33 @@ def main(argv=None) -> int:
         config=vars(args),
     ) if is_master else None
 
+    # preemption hook: the TPU maintenance-event / SLURM grace-period signal
+    # sets a flag; the epoch loop stops at a step boundary (cross-host
+    # consensus), saves a mid-epoch epoch_latest and exits 0. The reference
+    # has no equivalent — its recovery story is "resubmit with --resume
+    # latest" at whole-epoch granularity (SURVEY §5).
+    stop_event = None
+    if args.preempt_save:
+        import signal
+        import threading
+
+        stop_event = threading.Event()
+
+        def _on_preempt(signum, frame):  # noqa: ARG001 — signal API shape
+            logger.warning("received signal %d: will checkpoint and exit at "
+                           "the next step boundary", signum)
+            stop_event.set()
+
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            signal.signal(sig, _on_preempt)
+
     for epoch in range(start_epoch, args.epochs):
         logger.info("Start epoch %d", epoch)
         if hasattr(train_data, "set_epoch"):
             train_data.set_epoch(epoch)
+        skip = resume_step_in_epoch if epoch == start_epoch else 0
         t0 = time.perf_counter()
-        state, steps = train_one_epoch(
+        state, steps, stopped = train_one_epoch(
             step_fn, state, iter(train_data), feeder=feeder,
             epoch=epoch, global_batch_size=global_batch,
             num_devices=num_devices,
@@ -419,7 +447,21 @@ def main(argv=None) -> int:
             writer=writer, steps_per_epoch=steps_per_epoch,
             lr_schedule=lr_schedule,
             profiler_dir=args.profile_dir if epoch == start_epoch else None,
+            skip_steps=skip, stop_flag=stop_event,
+            stop_check_every=args.preempt_check_every,
         )
+        if stopped:
+            step_done = skip + steps
+            logger.info("Preempted in epoch %d after step %d/%d: saving "
+                        "mid-epoch checkpoint", epoch, step_done,
+                        steps_per_epoch)
+            if is_master:
+                wait_for_saves()  # don't race an in-flight async epoch save
+                save_checkpoint(
+                    checkpoint_dir, jax.device_get(state)._asdict(),
+                    epoch=epoch, name=args.name, most_recent=True,
+                    step_in_epoch=step_done)
+            break
         logger.info("Epoch %d done: %d steps in %.1fs", epoch, steps,
                     time.perf_counter() - t0)
         completed_epoch = epoch + 1

@@ -65,6 +65,14 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     reference's torchrun/env:// rendezvous (main.py:90). No-op on one host."""
     if num_processes is None or num_processes <= 1:
         return
+    try:
+        # cross-process collectives on the CPU backend need a transport;
+        # gloo ships in jaxlib. Only consulted when a CPU client is created
+        # (the multi-host CPU-mesh tests; harmless on TPU, where collectives
+        # ride ICI/DCN through the TPU client).
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # older jaxlib without the option
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

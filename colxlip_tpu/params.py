@@ -118,6 +118,17 @@ def parse_args(args=None) -> argparse.Namespace:
                              "background thread after a device_get snapshot "
                              "so the next epoch trains through the write "
                              "(see checkpoint.save_checkpoint_async)")
+    parser.add_argument("--preempt-save", action="store_true", default=False,
+                        help="on SIGTERM/SIGUSR1 (the TPU/SLURM preemption "
+                             "warnings), stop at the next step boundary, "
+                             "write a mid-epoch epoch_latest checkpoint and "
+                             "exit 0; --resume latest then continues from "
+                             "the exact step (the reference loses the whole "
+                             "partial epoch)")
+    parser.add_argument("--preempt-check-every", type=int, default=20,
+                        help="steps between preemption-stop checks; on "
+                             "multi-host this is a tiny cross-host consensus "
+                             "collective (hosts must stop at the same step)")
     parser.add_argument("--remote-sync", type=str, default=None)
     parser.add_argument("--remote-sync-frequency", type=int, default=300)
     parser.add_argument("--remote-sync-protocol", choices=["s3", "fsspec"], default="s3")

@@ -31,6 +31,23 @@ logger = logging.getLogger(__name__)
 def _checkpointer():
     import orbax.checkpoint as ocp
 
+    if jax.process_count() > 1:
+        # The payload is pure host-local numpy (`_to_pure_dict` device_gets
+        # the replicated state), so save/restore is local IO — but orbax
+        # barriers over ALL jax processes by default, and the driver saves
+        # on the master only (reference main.py:413-441 semantics): the
+        # master would block in sync_global_processes forever while the
+        # workers sit in the next train step's collective (deadlock caught
+        # by tests/test_multihost.py). Scope every barrier to this process.
+        me = jax.process_index()
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=me,
+                active_processes={me},
+                barrier_sync_key_prefix=f"host{me}",
+            ),
+        )
     return ocp.PyTreeCheckpointer()
 
 
@@ -130,8 +147,18 @@ def save_checkpoint(
     epoch: int,
     name: str = "",
     most_recent: bool = False,
+    step_in_epoch: int = 0,
 ) -> str:
-    """Write epoch_<N> (or epoch_latest) under checkpoint_dir."""
+    """Write epoch_<N> (or epoch_latest) under checkpoint_dir.
+
+    step_in_epoch > 0 marks a MID-epoch (preemption) checkpoint: ``epoch`` is
+    then the *incomplete* epoch index and a ``preempt.json`` sidecar records
+    how many optimizer steps of it already ran, so resume fast-forwards the
+    data stream instead of replaying (or losing) the partial epoch. The
+    sidecar — not a payload field — keeps old and new checkpoints mutually
+    restorable (orbax restores against a fixed item template)."""
+    import json
+
     os.makedirs(checkpoint_dir, exist_ok=True)
     tag = "epoch_latest" if most_recent else f"epoch_{epoch}"
     path = os.path.join(os.path.abspath(checkpoint_dir), tag)
@@ -157,7 +184,25 @@ def save_checkpoint(
         shutil.rmtree(backup, ignore_errors=True)
     else:
         ckptr.save(path, payload, force=True)
+    if step_in_epoch > 0:
+        with open(os.path.join(path, "preempt.json"), "w") as f:
+            json.dump({"epoch": epoch, "step_in_epoch": int(step_in_epoch)}, f)
     return path
+
+
+def read_step_in_epoch(checkpoint_path: str) -> int:
+    """Steps of the checkpoint's epoch already run (0 for whole-epoch saves).
+
+    A fresh save into the same dir replaces the whole directory (orbax tmp →
+    rename), so a stale sidecar can never outlive its checkpoint."""
+    import json
+
+    sidecar = os.path.join(checkpoint_path, "preempt.json")
+    try:
+        with open(sidecar) as f:
+            return int(json.load(f)["step_in_epoch"])
+    except (OSError, ValueError, KeyError):
+        return 0
 
 
 def _to_pure_dict(tree):

@@ -118,6 +118,23 @@ class _PrefetchIterator:
         self._thread.join(timeout=5.0)
 
 
+def _stop_consensus(local_stop: bool) -> bool:
+    """All hosts agree on whether any host was asked to stop.
+
+    Multi-process training MUST stop at the same step boundary on every host
+    (a lone host leaving mid-epoch strands the others in the next step's
+    collective), and the preemption signal can land at different step indices
+    per host — so the decision is a tiny cross-process any() at fixed step
+    boundaries. Single-process: just the local flag (free)."""
+    if jax.process_count() == 1:
+        return local_stop
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(
+        np.asarray([local_stop], np.int32))
+    return bool(np.asarray(flags).any())
+
+
 def train_one_epoch(
     step_fn,
     state,
@@ -133,13 +150,39 @@ def train_one_epoch(
     profiler_dir: Optional[str] = None,
     feeder=None,
     prefetch_depth: int = 2,
+    skip_steps: int = 0,
+    stop_flag=None,
+    stop_check_every: int = 20,
 ):
-    """Run one epoch; returns (state, steps_run)."""
+    """Run one epoch; returns (state, steps_run, stopped_early).
+
+    skip_steps: consume (and discard) this many leading batches before
+    training — the mid-epoch resume fast-forward. Deterministic pipelines
+    (synthetic, seeded grain) replay the exact remaining stream; the threaded
+    wds pipeline resumes at the right position in the epoch's shard schedule
+    but thread scheduling may reorder within it (same caveat as torch
+    DataLoader skipping). The skipped batches are never shipped to device.
+
+    stop_flag: a ``threading.Event``-like object; when set, training stops at
+    the next ``stop_check_every`` step boundary (cross-host consensus, see
+    ``_stop_consensus``) and returns ``stopped_early=True`` so the caller can
+    checkpoint. The reference has no preemption story at all (SURVEY §5:
+    "resubmit the SLURM job with --resume latest", whole epochs lost).
+    """
     batch_time_m = AverageMeter()
     data_time_m = AverageMeter()
     loss_meters: Dict[str, AverageMeter] = {}
 
-    prefetch = _PrefetchIterator(dataloader, feeder=feeder, depth=prefetch_depth)
+    raw_it = iter(dataloader)
+    for _ in range(skip_steps):
+        try:
+            next(raw_it)
+        except StopIteration:
+            break
+    if steps_per_epoch is not None:
+        steps_per_epoch = max(steps_per_epoch - skip_steps, 0)
+
+    prefetch = _PrefetchIterator(raw_it, feeder=feeder, depth=prefetch_depth)
     # read the optimizer step count ONCE; track it host-side afterwards —
     # a per-iteration device_get(state.step) would sync every step and
     # defeat async dispatch (measured 2-4x step-time inflation through the
@@ -149,6 +192,7 @@ def train_one_epoch(
     window_start = end
     last_log_i = 0
     steps_run = 0
+    stopped = False
     metrics = {}
     trace_active = False
     try:
@@ -204,6 +248,15 @@ def train_one_epoch(
                         "epoch": epoch,
                     })
                     writer.write(host_metrics, step_idx)
+            if stop_flag is not None and (i % stop_check_every) == 0:
+                # the consensus collective must run at the SAME boundaries on
+                # every host regardless of the local flag value
+                if _stop_consensus(stop_flag.is_set()):
+                    stopped = True
+                    logger.info(
+                        "stop requested: leaving epoch %d after %d step(s)",
+                        epoch, skip_steps + steps_run)
+                    break
             end = time.perf_counter()
     finally:
         prefetch.close()
@@ -220,4 +273,4 @@ def train_one_epoch(
         # return early from block_until_ready (CLAUDE.md timing trap), and
         # main() logs the epoch wall-time right after this sync
         jax.device_get(metrics.get("total_loss"))
-    return state, steps_run
+    return state, steps_run, stopped

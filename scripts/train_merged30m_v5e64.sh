@@ -48,6 +48,9 @@ python -m colxlip_tpu.main \
     --save-frequency 1 \
     --save-most-recent \
     --delete-previous-checkpoint \
+    --async-checkpoint \
+    --resume latest \
+    --preempt-save \
     --report-to jsonl \
     ${COORD:+--dist-coordinator "$COORD"} \
     ${NPROC:+--dist-num-processes "$NPROC"} \

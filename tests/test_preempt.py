@@ -1,0 +1,132 @@
+"""Preemption-safe checkpointing: SIGTERM mid-epoch -> save -> exact resume.
+
+The reference has no preemption story at all — its recovery is "resubmit the
+SLURM job with ``--resume latest``" at whole-epoch granularity (SURVEY §5;
+reference main.py:109,138-170), losing every step of a partial epoch. Here
+``--preempt-save`` stops at a step boundary, writes a mid-epoch
+``epoch_latest`` with a ``preempt.json`` step sidecar, and ``--resume
+latest`` fast-forwards the data stream to continue the exact trajectory.
+"""
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from colxlip_tpu.training.checkpoint import (
+    get_latest_checkpoint,
+    read_step_in_epoch,
+    save_checkpoint,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "driver_worker.py")
+
+
+def test_step_sidecar_roundtrip(tmp_path):
+    state = {"step": np.int32(7), "params": {"w": np.ones((2, 2), np.float32)}}
+    d = str(tmp_path / "ckpts")
+    # whole-epoch save: no sidecar
+    p = save_checkpoint(d, state, epoch=1, name="t")
+    assert read_step_in_epoch(p) == 0
+    # mid-epoch save: sidecar present, discoverable as latest
+    p2 = save_checkpoint(d, state, epoch=1, name="t", most_recent=True,
+                         step_in_epoch=7)
+    assert read_step_in_epoch(p2) == 7
+    assert get_latest_checkpoint(d) == p2
+    # a later whole-epoch overwrite of epoch_latest replaces the directory,
+    # so the stale sidecar cannot survive it
+    p3 = save_checkpoint(d, state, epoch=2, name="t", most_recent=True)
+    assert p3 == p2 and read_step_in_epoch(p3) == 0
+
+
+def _driver_cmd(logs: str, name: str):
+    return [
+        sys.executable, WORKER,
+        "--model", "ViT-S-16-test", "--dataset-type", "synthetic",
+        "--train-num-samples", "320", "--batch-size", "2",
+        "--epochs", "2", "--lr", "1e-3", "--warmup", "2",
+        "--precision", "fp32", "--logs", logs, "--name", name,
+        "--workers", "0", "--log-every-n-steps", "1",
+        "--save-frequency", "1", "--resume", "latest",
+        "--maxsim-impl", "xla", "--seed", "0", "--report-to", "jsonl",
+        "--preempt-save", "--preempt-check-every", "2",
+    ]
+
+
+def _read_metrics(path):
+    out = {}
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            out[rec["step"]] = rec["total_loss"]
+    return out
+
+
+@pytest.mark.slow
+def test_sigterm_saves_and_resume_matches_uninterrupted(tmp_path):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [REPO, env.get("PYTHONPATH", "")] if p)
+    logs = str(tmp_path)
+    metrics_path = os.path.join(logs, "pre", "metrics.jsonl")
+
+    # run 1: SIGTERM once a few steps are in flight
+    p = subprocess.Popen(_driver_cmd(logs, "pre"), env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True)
+    deadline = time.time() + 600
+    try:
+        while time.time() < deadline:
+            if p.poll() is not None:
+                out, _ = p.communicate()
+                pytest.fail(f"driver exited before signal: rc={p.returncode}"
+                            f"\n{out[-4000:]}")
+            if os.path.exists(metrics_path) and sum(
+                    1 for _ in open(metrics_path)) >= 4:
+                break
+            time.sleep(0.5)
+        else:
+            pytest.fail("driver never reached 4 logged steps")
+        p.send_signal(signal.SIGTERM)
+        out, _ = p.communicate(timeout=300)
+    finally:
+        if p.poll() is None:
+            p.kill()
+    assert p.returncode == 0, out[-4000:]
+
+    ckpt = get_latest_checkpoint(os.path.join(logs, "pre", "checkpoints"))
+    assert ckpt and ckpt.endswith("epoch_latest"), ckpt
+    s0 = read_step_in_epoch(ckpt)
+    assert 0 < s0 < 40, s0  # 320 samples / 16 global = 20 steps x 2 epochs
+    run1 = _read_metrics(metrics_path)
+    assert max(run1) == s0  # saved state is exactly the last logged step
+
+    # run 2: --resume latest continues mid-epoch (same flags)
+    out2 = subprocess.run(_driver_cmd(logs, "pre"), env=env, timeout=900,
+                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                          text=True)
+    assert out2.returncode == 0, out2.stdout[-4000:]
+    assert f"step {s0}" in out2.stdout  # resumed at the sidecar step
+    both = _read_metrics(metrics_path)  # JSONL appends across the two runs
+    assert sorted(both) == list(range(1, 41))
+
+    # uninterrupted reference run, identical flags
+    out3 = subprocess.run(_driver_cmd(logs, "ref"), env=env, timeout=900,
+                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                          text=True)
+    assert out3.returncode == 0, out3.stdout[-4000:]
+    ref = _read_metrics(os.path.join(logs, "ref", "metrics.jsonl"))
+    assert sorted(ref) == list(range(1, 41))
+    np.testing.assert_allclose(
+        [both[s] for s in sorted(both)], [ref[s] for s in sorted(ref)],
+        rtol=1e-5,
+        err_msg="preempt+resume trajectory diverged from uninterrupted run")
+
+    # both numbered epoch checkpoints landed despite the interruption
+    ckpts = sorted(os.listdir(os.path.join(logs, "pre", "checkpoints")))
+    assert "epoch_1" in ckpts and "epoch_2" in ckpts, ckpts

@@ -57,12 +57,13 @@ def test_train_one_epoch_counts_and_cuts():
         calls.append(int(np.asarray(images)[0, 0, 0, 0]))
         return _FakeState(int(state.step) + 1), {"total_loss": np.float32(1.0)}
 
-    state, steps = train_one_epoch(
+    state, steps, stopped = train_one_epoch(
         step_fn, _FakeState(5), _batches(10, np.float32),
         epoch=0, global_batch_size=4, steps_per_epoch=4,
         log_every_n_steps=2,
     )
     assert steps == 4
+    assert not stopped
     assert int(state.step) == 9
     assert calls == [0, 1, 2, 3]
 
@@ -71,9 +72,52 @@ def test_train_one_epoch_exhausts_iterator():
     def step_fn(state, images, texts):
         return _FakeState(int(state.step) + 1), {"total_loss": np.float32(2.0)}
 
-    state, steps = train_one_epoch(
+    state, steps, stopped = train_one_epoch(
         step_fn, _FakeState(0), _batches(3, np.uint8),
         epoch=1, global_batch_size=4, log_every_n_steps=100,
     )
+    assert steps == 3
+    assert not stopped
+    assert int(state.step) == 3
+
+
+def test_train_one_epoch_skip_steps():
+    """Mid-epoch resume fast-forward: the first k batches are consumed but
+    never trained on, and the steps_per_epoch cut counts the WHOLE epoch."""
+    calls = []
+
+    def step_fn(state, images, texts):
+        calls.append(int(np.asarray(images)[0, 0, 0, 0]))
+        return _FakeState(int(state.step) + 1), {"total_loss": np.float32(1.0)}
+
+    state, steps, stopped = train_one_epoch(
+        step_fn, _FakeState(3), _batches(10, np.float32),
+        epoch=0, global_batch_size=4, steps_per_epoch=8,
+        log_every_n_steps=100, skip_steps=3,
+    )
+    assert calls == [3, 4, 5, 6, 7]  # batches 0-2 skipped, cut at epoch step 8
+    assert steps == 5
+    assert not stopped
+    assert int(state.step) == 8
+
+
+def test_train_one_epoch_stop_flag():
+    """A set stop flag halts at the next check boundary and reports it."""
+    import threading
+
+    flag = threading.Event()
+
+    def step_fn(state, images, texts):
+        if int(state.step) == 2:  # "signal" lands during step 3
+            flag.set()
+        return _FakeState(int(state.step) + 1), {"total_loss": np.float32(1.0)}
+
+    state, steps, stopped = train_one_epoch(
+        step_fn, _FakeState(0), _batches(50, np.float32),
+        epoch=0, global_batch_size=4, log_every_n_steps=100,
+        stop_flag=flag, stop_check_every=2,
+    )
+    assert stopped
+    # flag set during step i=2; checks run after steps i=0,2,4 -> stops at i=2
     assert steps == 3
     assert int(state.step) == 3
