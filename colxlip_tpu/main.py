@@ -33,9 +33,12 @@ from .training.checkpoint import (
     get_latest_checkpoint_remote,
     load_native_checkpoint,
     read_step_in_epoch,
+    restore_sharded_checkpoint,
     rotate_checkpoints,
     save_checkpoint,
     save_checkpoint_async,
+    save_checkpoint_sharded,
+    state_fully_addressable,
     wait_for_saves,
 )
 from .training.evaluate import evaluate
@@ -389,7 +392,12 @@ def main(argv=None) -> int:
     state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
     start_epoch = 0
     resume_step_in_epoch = 0
-    if resume_from:
+    # FSDP/TP on a multi-host mesh shards state ACROSS processes: restore
+    # must happen after placement (each process reads only its own shard
+    # bytes via restore_sharded_checkpoint); every other combination
+    # restores host numpy first, then places.
+    cross_process_state = jax.process_count() > 1 and (mp > 1 or args.fsdp)
+    if resume_from and not cross_process_state:
         restored = load_native_checkpoint(resume_from, template=state._asdict())
         start_epoch = int(restored["epoch"])
         resume_step_in_epoch = read_step_in_epoch(resume_from)
@@ -405,6 +413,17 @@ def main(argv=None) -> int:
         state, _ = shard_state(state, mesh, fsdp=args.fsdp)
     elif mesh is not None:
         state = replicate_state(state, mesh)
+    if resume_from and cross_process_state:
+        restored = restore_sharded_checkpoint(resume_from, state._asdict())
+        start_epoch = int(restored["epoch"])
+        resume_step_in_epoch = read_step_in_epoch(resume_from)
+        s = restored["state"]
+        state = TrainState(s["step"], s["params"], s["opt_state"])
+        logger.info("=> resumed sharded checkpoint '%s' (epoch %d%s)",
+                    resume_from, start_epoch,
+                    f", step {resume_step_in_epoch}" if resume_step_in_epoch
+                    else "")
+    state_addressable = state_fully_addressable(state)
 
     writer = MetricsWriter(
         log_base, args.report_to,
@@ -455,8 +474,13 @@ def main(argv=None) -> int:
             logger.info("Preempted in epoch %d after step %d/%d: saving "
                         "mid-epoch checkpoint", epoch, step_done,
                         steps_per_epoch)
-            if is_master:
-                wait_for_saves()  # don't race an in-flight async epoch save
+            wait_for_saves()  # don't race an in-flight async epoch save
+            if not state_addressable:
+                # cross-process-sharded state: every process writes its shards
+                save_checkpoint_sharded(
+                    checkpoint_dir, state._asdict(), epoch=epoch,
+                    name=args.name, most_recent=True, step_in_epoch=step_done)
+            elif is_master:
                 save_checkpoint(
                     checkpoint_dir, jax.device_get(state)._asdict(),
                     epoch=epoch, name=args.name, most_recent=True,
@@ -466,31 +490,64 @@ def main(argv=None) -> int:
                     time.perf_counter() - t0)
         completed_epoch = epoch + 1
 
-        if (suites or zero_shot_fn is not None) and is_master and (
+        if (suites or zero_shot_fn is not None) and (
             (args.val_frequency > 0 and completed_epoch % args.val_frequency == 0)
             or completed_epoch == args.epochs
         ):
-            zs = zero_shot_fn if (
-                zero_shot_fn is not None
-                and args.zeroshot_frequency > 0
-                and completed_epoch % args.zeroshot_frequency == 0
-            ) else None
             # params stay on device: the Encoder re-places them on the local
             # eval mesh itself, and a device_get round trip costs minutes at
-            # the relay's ~14 MB/s for ViT-L-size states
-            evaluate(
-                model, state.params, suites,
-                epoch=completed_epoch, batch_size=args.batch_size,
-                scoring=args.eval_scoring, alpha=args.alpha,
-                results_file=os.path.join(checkpoint_dir, "results.jsonl"),
-                zero_shot_fn=zs,
-                maxsim_impl=args.maxsim_impl, mask_mode=args.token_mask_mode,
-            )
+            # the relay's ~14 MB/s for ViT-L-size states. Cross-process-
+            # sharded (FSDP/TP multi-host) params must first be gathered to
+            # host — a collective, so ALL processes call it; only the master
+            # then runs the eval.
+            eval_params = state.params
+            if not state_addressable:
+                from jax.experimental import multihost_utils
+
+                eval_params = multihost_utils.process_allgather(state.params)
+            if is_master:
+                zs = zero_shot_fn if (
+                    zero_shot_fn is not None
+                    and args.zeroshot_frequency > 0
+                    and completed_epoch % args.zeroshot_frequency == 0
+                ) else None
+                evaluate(
+                    model, eval_params, suites,
+                    epoch=completed_epoch, batch_size=args.batch_size,
+                    scoring=args.eval_scoring, alpha=args.alpha,
+                    results_file=os.path.join(checkpoint_dir, "results.jsonl"),
+                    zero_shot_fn=zs,
+                    maxsim_impl=args.maxsim_impl,
+                    mask_mode=args.token_mask_mode,
+                )
+            del eval_params
 
         do_numbered = is_master and args.save_frequency > 0 and (
             completed_epoch % args.save_frequency == 0 or completed_epoch == args.epochs
         )
-        if args.async_checkpoint and is_master and (
+        if not state_addressable:
+            # distributed save of cross-process-sharded state: EVERY process
+            # participates (each writes only its own shard bytes; no host
+            # ever holds the full ZeRO/TP state). --async-checkpoint runs
+            # the TensorStore write in the background (donation-safe: the
+            # call returns after the device->host shard copy).
+            want_numbered = args.save_frequency > 0 and (
+                completed_epoch % args.save_frequency == 0
+                or completed_epoch == args.epochs)
+            if want_numbered:
+                save_checkpoint_sharded(
+                    checkpoint_dir, state._asdict(),
+                    epoch=completed_epoch, name=args.name,
+                    background=args.async_checkpoint,
+                    rotate_keep_epoch=(completed_epoch
+                                       if args.delete_previous_checkpoint
+                                       else None))
+            if args.save_most_recent:
+                save_checkpoint_sharded(checkpoint_dir, state._asdict(),
+                                        epoch=completed_epoch, name=args.name,
+                                        most_recent=True,
+                                        background=args.async_checkpoint)
+        elif args.async_checkpoint and is_master and (
             do_numbered or args.save_most_recent
         ):
             # one snapshot feeds both the numbered and latest writes; the

@@ -53,6 +53,17 @@ def _checkpointer():
 
 _SAVE_THREAD = None
 _SAVE_ERROR: Optional[BaseException] = None
+_ASYNC_SHARDED = None  # lazily-built orbax AsyncCheckpointer (sharded saves)
+_PENDING_ROTATE: Optional[Tuple[str, int]] = None
+
+
+def _async_sharded_checkpointer():
+    global _ASYNC_SHARDED
+    if _ASYNC_SHARDED is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_SHARDED = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_SHARDED
 
 
 def wait_for_saves() -> None:
@@ -61,14 +72,22 @@ def wait_for_saves() -> None:
     Re-raises a failure from the background writer: a swallowed save error
     (disk full, serialization bug) would otherwise let training exit 0 with
     no checkpoint on disk — the synchronous path crashes loudly, so must we.
+    Also finalizes background SHARDED saves and runs the rotation that was
+    deferred until the save superseding the old checkpoints is durable.
     """
-    global _SAVE_THREAD, _SAVE_ERROR
+    global _SAVE_THREAD, _SAVE_ERROR, _PENDING_ROTATE
     if _SAVE_THREAD is not None:
         _SAVE_THREAD.join()
         _SAVE_THREAD = None
     if _SAVE_ERROR is not None:
         err, _SAVE_ERROR = _SAVE_ERROR, None
         raise RuntimeError("async checkpoint save failed") from err
+    if _ASYNC_SHARDED is not None:
+        _ASYNC_SHARDED.wait_until_finished()  # raises on a failed write
+        if _PENDING_ROTATE is not None:
+            d, keep = _PENDING_ROTATE
+            _PENDING_ROTATE = None
+            rotate_checkpoints(d, keep)
 
 
 def save_checkpoint_async(
@@ -188,6 +207,90 @@ def save_checkpoint(
         with open(os.path.join(path, "preempt.json"), "w") as f:
             json.dump({"epoch": epoch, "step_in_epoch": int(step_in_epoch)}, f)
     return path
+
+
+def state_fully_addressable(state) -> bool:
+    """True when every array shard lives on THIS process's devices (single
+    process, or multi-process with replicated/dp state) — the host-numpy
+    save/restore path handles it. False when GSPMD sharding (FSDP/ZeRO-3 or
+    tensor parallelism on a multi-host mesh) spreads a param's shards across
+    processes: then saves must be the distributed kind below."""
+    return all(getattr(x, "is_fully_addressable", True)
+               for x in jax.tree.leaves(state))
+
+
+def save_checkpoint_sharded(
+    checkpoint_dir: str,
+    state,
+    *,
+    epoch: int,
+    name: str = "",
+    most_recent: bool = False,
+    step_in_epoch: int = 0,
+    background: bool = False,
+    rotate_keep_epoch: Optional[int] = None,
+) -> str:
+    """Distributed save of CROSS-PROCESS-sharded state (FSDP/TP on a
+    multi-host mesh). Every process calls this; each writes only its own
+    addressable shards (orbax/TensorStore), so no host ever materializes —
+    or ships over DCN — the full ZeRO-sharded state. Requires
+    ``checkpoint_dir`` on a filesystem all hosts share (GCS/NFS), the same
+    assumption the reference makes for resume (main.py:151-153).
+
+    The torch reference cannot express this at all: its DDP state is
+    replicated and rank 0 torch.saves the whole dict (main.py:413-422).
+
+    background=True enqueues the write on orbax's AsyncCheckpointer: the
+    call returns once the device->host shard copies are done (donation-safe
+    — the next step may reuse the buffers) and the TensorStore write runs
+    in the background; ``wait_for_saves()`` finalizes and surfaces errors.
+    rotate_keep_epoch defers rotation until that finalize (deleting the old
+    checkpoints before the superseding save is durable could lose all of
+    them to a failed write). Mid-epoch (sidecar) saves are always
+    synchronous: the process is about to exit.
+    """
+    global _PENDING_ROTATE
+    import orbax.checkpoint as ocp
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tag = "epoch_latest" if most_recent else f"epoch_{epoch}"
+    path = os.path.join(os.path.abspath(checkpoint_dir), tag)
+    payload = {"epoch": epoch, "name": name, "state": state}
+    # UNscoped checkpointer: all processes participate in the barriers and
+    # the primary host finalizes the atomic tmp->rename (orbax handles the
+    # existing-dir replace under force=True with its own coordination).
+    rotate = rotate_keep_epoch is not None and jax.process_index() == 0
+    if background and step_in_epoch == 0:
+        ckptr = _async_sharded_checkpointer()
+        ckptr.wait_until_finished()  # one save in flight at a time
+        ckptr.save(path, payload, force=True)
+        if rotate:
+            _PENDING_ROTATE = (checkpoint_dir, rotate_keep_epoch)
+        return path
+    ocp.PyTreeCheckpointer().save(path, payload, force=True)
+    if rotate:
+        rotate_checkpoints(checkpoint_dir, rotate_keep_epoch)
+    if step_in_epoch > 0 and jax.process_index() == 0:
+        import json
+
+        with open(os.path.join(path, "preempt.json"), "w") as f:
+            json.dump({"epoch": epoch, "step_in_epoch": int(step_in_epoch)}, f)
+    return path
+
+
+def restore_sharded_checkpoint(path: str, template: Dict):
+    """Restore INTO the template's sharded layout: each leaf of
+    ``template["state"]`` is a (sharded) jax.Array whose sharding tells
+    orbax which shard bytes this process reads — the restored state lands
+    already ZeRO/TP-partitioned, without any host ever holding the full
+    tree. Inverse of ``save_checkpoint_sharded``."""
+    import orbax.checkpoint as ocp
+    from orbax.checkpoint import checkpoint_utils
+
+    payload = {"epoch": 0, "name": "", "state": template}
+    restore_args = checkpoint_utils.construct_restore_args(payload)
+    return ocp.PyTreeCheckpointer().restore(
+        os.path.abspath(path), item=payload, restore_args=restore_args)
 
 
 def read_step_in_epoch(checkpoint_path: str) -> int:

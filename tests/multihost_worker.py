@@ -8,7 +8,7 @@ into global arrays by ``make_array_from_process_local_data`` — not the
 single-process 8-virtual-device simulation the rest of the suite uses.
 
 Usage: python tests/multihost_worker.py <process_id> <num_processes> <port>
-       <logs_dir> [epochs]
+       <logs_dir> [epochs] [extra driver args...]
 """
 import os
 import sys
@@ -18,6 +18,7 @@ def main() -> int:
     pid, nproc, port, logs = (int(sys.argv[1]), int(sys.argv[2]),
                               sys.argv[3], sys.argv[4])
     epochs = sys.argv[5] if len(sys.argv) > 5 else "2"
+    extra = sys.argv[6:]
     # OVERRIDE any inherited device-count flag (the pytest parent's conftest
     # exports an 8-device XLA_FLAGS; each worker must get exactly 8/nproc)
     flags = " ".join(
@@ -56,7 +57,7 @@ def main() -> int:
         "--dist-coordinator", f"localhost:{port}",
         "--dist-num-processes", str(nproc),
         "--dist-process-id", str(pid),
-    ])
+    ] + extra)
 
 
 if __name__ == "__main__":
