@@ -504,7 +504,10 @@ def main(argv=None) -> int:
             if not state_addressable:
                 from jax.experimental import multihost_utils
 
-                eval_params = multihost_utils.process_allgather(state.params)
+                # tiled=True: for a global (cross-process) array this
+                # returns the assembled GLOBAL value on every host
+                eval_params = multihost_utils.process_allgather(
+                    state.params, tiled=True)
             if is_master:
                 zs = zero_shot_fn if (
                     zero_shot_fn is not None

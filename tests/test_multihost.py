@@ -138,6 +138,32 @@ def _launch_pair(logs, env, epochs, extra):
     return outs
 
 
+def _fake_coco(root_dir: str) -> str:
+    """Tiny on-disk COCO-layout suite (4 images x 2 captions)."""
+    import json as _json
+
+    from PIL import Image
+
+    root = os.path.join(root_dir, "coco")
+    os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+    os.makedirs(os.path.join(root, "images", "val2017"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    images, annotations = [], []
+    for i in range(4):
+        fname = f"{i:012d}.jpg"
+        arr = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(
+            os.path.join(root, "images", "val2017", fname))
+        images.append({"id": 100 + i, "file_name": fname})
+        for j in range(2):
+            annotations.append({"image_id": 100 + i,
+                                "caption": f"photo number {i} variant {j}"})
+    with open(os.path.join(root, "annotations",
+                           "captions_val2017.json"), "w") as f:
+        _json.dump({"images": images, "annotations": annotations}, f)
+    return root
+
+
 @pytest.mark.slow
 def test_two_process_fsdp_sharded_checkpoint_resume(tmp_path):
     """ZeRO-3 state sharded ACROSS processes: param/moment shards live on
@@ -145,16 +171,21 @@ def test_two_process_fsdp_sharded_checkpoint_resume(tmp_path):
     process writes only its own shard bytes — no host ever holds the full
     state, which the torch reference cannot express at all) and resume
     restores straight into the sharded layout. Trajectory must match the
-    single-process FSDP run."""
+    single-process FSDP run. A retrieval suite is configured so the
+    epoch-end eval exercises the process_allgather gather of the sharded
+    params (a collective all processes must enter; the master evaluates)."""
     env = dict(os.environ)
     env["PYTHONPATH"] = os.pathsep.join(
         p for p in [REPO, env.get("PYTHONPATH", "")] if p)
     logs = str(tmp_path / "mh")
+    coco = _fake_coco(str(tmp_path))
     # const schedule: round 1 trains --epochs 2, the resume round --epochs 3
     # — under the default cosine schedule total_steps would differ between
     # rounds (a property of cosine resume the reference shares, not a bug),
     # so trajectory parity needs a total-steps-independent LR
-    extra = ["--fsdp", "--gather-with-grad", "--lr-scheduler", "const"]
+    extra = ["--fsdp", "--gather-with-grad", "--lr-scheduler", "const",
+             "--retrieval-coco", "--coco-data-root-dir", coco,
+             "--val-frequency", "1"]
 
     # round 1: 2 epochs, distributed sharded saves
     _launch_pair(logs, env, 2, extra)
@@ -169,6 +200,12 @@ def test_two_process_fsdp_sharded_checkpoint_resume(tmp_path):
           for l in open(os.path.join(run_dir, "metrics.jsonl"))]
     assert len(mh) == 12  # 8 appended by round 1 + 4 by the resumed epoch
     assert np.isfinite(mh).all()
+    # the sharded-params eval ran each epoch: master-only results.jsonl with
+    # retrieval metrics computed from the process_allgathered params
+    results = [json.loads(l) for l in
+               open(os.path.join(run_dir, "checkpoints", "results.jsonl"))]
+    assert [r["epoch"] for r in results] == [1, 2, 3]
+    assert all("coco_text_to_image_R@1" in r for r in results)
 
     # single-process FSDP reference: same flags, one uninterrupted run
     from colxlip_tpu.main import main
