@@ -130,3 +130,90 @@ def test_sigterm_saves_and_resume_matches_uninterrupted(tmp_path):
     # both numbered epoch checkpoints landed despite the interruption
     ckpts = sorted(os.listdir(os.path.join(logs, "pre", "checkpoints")))
     assert "epoch_1" in ckpts and "epoch_2" in ckpts, ckpts
+
+
+@pytest.mark.slow
+def test_preempt_resume_on_wds_pipeline(tmp_path):
+    """The mid-epoch fast-forward must also work on the REAL threaded tar
+    pipeline: skipped batches are consumed from the stream (never shipped to
+    device) and the resumed epoch completes its step budget. Thread
+    scheduling may reorder samples within the epoch (same caveat as a torch
+    DataLoader skip), so this asserts step accounting + finiteness, not
+    trajectory parity (tests above pin that on the deterministic pipeline)."""
+    import io
+    import tarfile
+
+    from PIL import Image
+
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    rng = np.random.default_rng(0)
+    for shard in range(4):
+        with tarfile.open(shards / f"shard-{shard:04d}.tar", "w") as tf:
+            for i in range(32):
+                key = f"{shard:04d}{i:05d}"
+                img = Image.fromarray(
+                    (rng.random((32, 48, 3)) * 255).astype(np.uint8))
+                buf = io.BytesIO()
+                img.save(buf, format="JPEG")
+                data = buf.getvalue()
+                info = tarfile.TarInfo(f"{key}.jpg")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                meta = json.dumps({"raw_caption": [f"caption {key}"]}).encode()
+                info = tarfile.TarInfo(f"{key}.json")
+                info.size = len(meta)
+                tf.addfile(info, io.BytesIO(meta))
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [REPO, env.get("PYTHONPATH", "")] if p)
+    logs = str(tmp_path)
+    cmd = [
+        sys.executable, WORKER,
+        "--model", "ViT-S-16-test",
+        "--train-data", str(shards / "shard-{0000..0003}.tar"),
+        "--train-num-samples", "128", "--batch-size", "2",
+        "--workers", "2", "--force-image-size", "32",
+        "--epochs", "2", "--lr", "1e-3", "--warmup", "2",
+        "--precision", "fp32", "--logs", logs, "--name", "wds",
+        "--log-every-n-steps", "1", "--save-frequency", "1",
+        "--resume", "latest", "--maxsim-impl", "xla",
+        "--seed", "0", "--report-to", "jsonl",
+        "--preempt-save", "--preempt-check-every", "2",
+    ]
+    metrics_path = os.path.join(logs, "wds", "metrics.jsonl")
+    p = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+    deadline = time.time() + 600
+    try:
+        while time.time() < deadline:
+            if p.poll() is not None:
+                out, _ = p.communicate()
+                pytest.fail(f"driver exited early: rc={p.returncode}"
+                            f"\n{out[-4000:]}")
+            if os.path.exists(metrics_path) and sum(
+                    1 for _ in open(metrics_path)) >= 2:
+                break
+            time.sleep(0.5)
+        else:
+            pytest.fail("driver never reached 2 logged steps")
+        p.send_signal(signal.SIGTERM)
+        out, _ = p.communicate(timeout=300)
+    finally:
+        if p.poll() is None:
+            p.kill()
+    assert p.returncode == 0, out[-4000:]
+    ckpt = get_latest_checkpoint(os.path.join(logs, "wds", "checkpoints"))
+    s0 = read_step_in_epoch(ckpt)
+    assert 0 < s0 < 16, s0  # 128 samples / 16 global = 8 steps x 2 epochs
+
+    out2 = subprocess.run(cmd, env=env, timeout=900, stdout=subprocess.PIPE,
+                          stderr=subprocess.STDOUT, text=True)
+    assert out2.returncode == 0, out2.stdout[-4000:]
+    recs = [json.loads(l) for l in open(metrics_path)]
+    # steps s0+1..16 appended exactly once; every loss finite
+    assert sorted(r["step"] for r in recs) == list(range(1, 17))
+    assert np.isfinite([r["total_loss"] for r in recs]).all()
+    ckpts = sorted(os.listdir(os.path.join(logs, "wds", "checkpoints")))
+    assert "epoch_1" in ckpts and "epoch_2" in ckpts, ckpts
