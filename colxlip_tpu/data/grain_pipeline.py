@@ -178,7 +178,12 @@ class _DecodeTokenize:
         rng = random.Random(cfg.seed * 1_000_003 + self.epoch * 97 + key_digest)
         try:
             img_arr = None
-            if cfg.native_decode:
+            if "raw" in sample:  # packed pre-decoded record (data/pack.py)
+                from .pack import decode_raw
+
+                img_arr = self.transform.apply_raw(decode_raw(sample["raw"]),
+                                                   rng=rng)
+            elif cfg.native_decode:
                 from .. import native
 
                 if native.available():

@@ -152,13 +152,17 @@ class ImageTransform:
         aug: Optional[AugmentationCfg] = None,
         seed: Optional[int] = None,
         normalize_on_device: bool = False,
+        raw_aug: str = "rrc",
     ):
+        if raw_aug not in ("rrc", "crop"):
+            raise ValueError(f"raw_aug must be 'rrc' or 'crop', got {raw_aug!r}")
         self.cfg = cfg
         self.is_train = is_train
         self.aug = aug or AugmentationCfg()
         self.interp = _PIL_INTERP[cfg.interpolation]
         self.rng = random.Random(seed) if seed is not None else random
         self.normalize_on_device = normalize_on_device
+        self.raw_aug = raw_aug
 
     def __call__(self, img: Image.Image,
                  rng: Optional[random.Random] = None) -> np.ndarray:
@@ -181,6 +185,32 @@ class ImageTransform:
             return np.asarray(img, np.uint8)
         return _normalize(np.asarray(img), self.cfg.mean, self.cfg.std)
 
+    def apply_raw(self, arr: np.ndarray,
+                  rng: Optional[random.Random] = None) -> np.ndarray:
+        """Transform a pre-decoded uint8 HWC array (a packed raw record).
+
+        ``raw_aug='rrc'`` reproduces the PIL path's RandomResizedCrop
+        bit-for-bit (same rng draw sequence, same bicubic resize — one small
+        PIL op instead of a JPEG decode). ``raw_aug='crop'`` is the zero-PIL
+        fast path: a plain random crop of the packed record (a numpy slice);
+        translation-only augmentation — the scale/aspect jitter happened once
+        at pack time, the standard trade for pre-resized pod feeds.
+        """
+        hw = self.cfg.size_hw
+        if self.is_train:
+            use_rng = rng if rng is not None else (
+                self.rng if self.rng is not random else random)
+            h, w = arr.shape[:2]
+            if self.raw_aug == "crop" and h >= hw[0] and w >= hw[1]:
+                y = use_rng.randint(0, h - hw[0])
+                x = use_rng.randint(0, w - hw[1])
+                out = arr[y:y + hw[0], x:x + hw[1]]
+                if self.normalize_on_device:
+                    return np.ascontiguousarray(out)
+                return _normalize(out, self.cfg.mean, self.cfg.std)
+            return self(Image.fromarray(arr), rng=rng)
+        return self(Image.fromarray(arr), rng=rng)
+
 
 def image_transform(
     image_size: Union[int, Tuple[int, int]],
@@ -191,9 +221,11 @@ def image_transform(
     aug_cfg: Optional[AugmentationCfg] = None,
     seed: Optional[int] = None,
     normalize_on_device: bool = False,
+    raw_aug: str = "rrc",
 ) -> ImageTransform:
     """Build a train or eval transform (factory.py:409-419 counterpart)."""
     cfg = PreprocessCfg(size=image_size, mean=tuple(mean), std=tuple(std),
                         interpolation=interpolation)
     return ImageTransform(cfg, is_train, aug=aug_cfg, seed=seed,
-                          normalize_on_device=normalize_on_device)
+                          normalize_on_device=normalize_on_device,
+                          raw_aug=raw_aug)

@@ -230,14 +230,19 @@ def probe_native_sample(sample: Dict[str, bytes], transform, rng):
     return data, box
 
 
+def _has_image(sample: Dict[str, bytes]) -> bool:
+    # 'raw' = packed pre-decoded record (data/pack.py)
+    return "raw" in sample or any(ext in sample for ext in IMAGE_EXTS)
+
+
 def has_image_and_json(sample: Dict[str, bytes]) -> bool:
     """data.py:120-123 filter."""
-    return "json" in sample and any(ext in sample for ext in IMAGE_EXTS)
+    return "json" in sample and _has_image(sample)
 
 
 def has_image_and_txt(sample: Dict[str, bytes]) -> bool:
     """data.py:113-117 filter (plain txt-caption shards)."""
-    return "txt" in sample and any(ext in sample for ext in IMAGE_EXTS)
+    return "txt" in sample and _has_image(sample)
 
 
 def decode_image(sample: Dict[str, bytes]):
@@ -447,8 +452,13 @@ class WdsTrainPipeline:
 
     def _process_sample(self, sample: Dict[str, bytes], rng: random.Random):
         cfg = self.cfg
-        img = decode_image(sample)
-        img_arr = self.transform(img, rng=rng)  # per-worker seeded crops
+        if "raw" in sample:  # packed pre-decoded record: no JPEG on hot path
+            from .pack import decode_raw
+
+            img_arr = self.transform.apply_raw(decode_raw(sample["raw"]), rng=rng)
+        else:
+            img = decode_image(sample)
+            img_arr = self.transform(img, rng=rng)  # per-worker seeded crops
         texts = self._tokenize(sample, rng)
         return img_arr, texts
 

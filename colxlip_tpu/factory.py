@@ -169,6 +169,7 @@ def create_model_and_transforms(
     aug_cfg: Optional[AugmentationCfg] = None,
     seed: int = 0,
     normalize_on_device: bool = False,
+    raw_aug: str = "rrc",
 ):
     """(model, cfg, params, preprocess_train, preprocess_val) —
     reference factory.py:367-421.
@@ -212,7 +213,7 @@ def create_model_and_transforms(
     size = cfg.vision_cfg.image_size
     preprocess_train = image_transform(
         size, is_train=True, mean=image_mean, std=image_std, aug_cfg=aug_cfg,
-        normalize_on_device=normalize_on_device,
+        normalize_on_device=normalize_on_device, raw_aug=raw_aug,
     )
     preprocess_val = image_transform(size, is_train=False, mean=image_mean, std=image_std)
     return model, cfg, params, preprocess_train, preprocess_val

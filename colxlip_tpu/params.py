@@ -60,6 +60,13 @@ def parse_args(args=None) -> argparse.Namespace:
                         help="train batches ship as raw uint8 RGB and the "
                              "accelerator applies (x/255-mean)/std — 4x fewer "
                              "host->device bytes, numerically identical")
+    parser.add_argument("--raw-aug", type=str, default="rrc",
+                        choices=["rrc", "crop"],
+                        help="augmentation on packed raw-uint8 shards "
+                             "(data/pack.py): 'rrc' = exact RandomResizedCrop "
+                             "semantics via one small PIL resize; 'crop' = "
+                             "zero-PIL numpy random crop (translation-only "
+                             "aug, cheapest host path)")
     parser.add_argument("--pipeline", type=str, default="wds",
                         choices=["wds", "grain"],
                         help="threaded tar pipeline vs grain mp-prefetch pipeline")
