@@ -34,6 +34,7 @@ from .wds import (
     iter_tar_samples,
     log_and_continue,
     resampled_shards,
+    split_member_name,
 )
 
 logger = logging.getLogger(__name__)
@@ -68,8 +69,7 @@ class _TarChunkIndex:
                 member = tf.next()
                 while member is not None:
                     if member.isfile():
-                        base, _, _ = member.name.rpartition(".")
-                        base = base or member.name
+                        base, _ = split_member_name(member.name)
                         if base != current_key:
                             if groups >= self.chunk_samples:
                                 chunks.append((path, start, groups))
@@ -116,9 +116,7 @@ class _TarChunkSamples:
                     for member in tf:
                         if not member.isfile():
                             continue
-                        base, _, ext = member.name.rpartition(".")
-                        if not base:
-                            base, ext = member.name, ""
+                        base, ext = split_member_name(member.name)
                         if base != current_key:
                             if current_key is not None and sample:
                                 out.append(sample)

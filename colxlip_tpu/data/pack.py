@@ -80,7 +80,10 @@ def pack_shard(
     """Rewrite one wds tar shard with images as pre-decoded raw records.
 
     Returns the number of samples packed. Unreadable images are skipped with
-    a warning (log_and_continue semantics); caption members pass through.
+    a warning (log_and_continue semantics); every non-image member (captions,
+    metadata sidecars) passes through byte-identical. Refuses shards that
+    already contain ``.raw`` records (re-packing a packed shard would be a
+    silent data-losing no-op), and warns when a shard packs to 0 samples.
     """
     from .transforms import _PIL_INTERP, resize_shortest
     from .wds import IMAGE_EXTS, decode_image, iter_tar_samples
@@ -91,6 +94,10 @@ def pack_shard(
     with tarfile.open(tmp, "w") as out:
         for sample in iter_tar_samples(src):
             key = sample.get("__key__", b"").decode()
+            if "raw" in sample:
+                raise ValueError(
+                    f"{src}: sample {key!r} already has a .raw member — this "
+                    "shard appears to be packed already; refusing to re-pack")
             if not any(ext in sample for ext in IMAGE_EXTS):
                 continue
             try:
@@ -101,10 +108,13 @@ def pack_shard(
             img = resize_shortest(img, size, interp)
             record = encode_raw(np.asarray(img, np.uint8))
             _add_member(out, f"{key}.raw", record)
-            for ext in ("json", "txt"):
-                if ext in sample:
-                    _add_member(out, f"{key}.{ext}", sample[ext])
+            for ext, data in sample.items():
+                if ext == "__key__" or ext in IMAGE_EXTS:
+                    continue
+                _add_member(out, f"{key}.{ext}", data)
             count += 1
+    if count == 0:
+        logger.warning("pack: %s packed 0 samples (no decodable images)", src)
     os.replace(tmp, dst)
     return count
 
@@ -134,6 +144,18 @@ def pack_shards(
     shard_list, _ = expand_urls(urls)
     if not shard_list:
         raise ValueError(f"no shards matched: {urls}")
+    # Shards are written to out_dir/<basename>: a multi-source '::' spec (or a
+    # brace spec spanning directories) can expand to colliding basenames, which
+    # would race under workers>1 and silently overwrite serially.
+    from collections import Counter
+
+    dupes = [b for b, n in Counter(
+        os.path.basename(s) for s in shard_list).items() if n > 1]
+    if dupes:
+        raise ValueError(
+            f"duplicate shard basenames across sources (would collide in "
+            f"{out_dir}): {sorted(dupes)[:5]}{'...' if len(dupes) > 5 else ''}"
+            " — pack each source into its own out dir")
     os.makedirs(out_dir, exist_ok=True)
 
     def job(src: str) -> Tuple[str, int]:

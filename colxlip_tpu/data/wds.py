@@ -167,6 +167,19 @@ def log_and_continue(exn: Exception) -> bool:
     return True
 
 
+def split_member_name(name: str) -> Tuple[str, str]:
+    """webdataset member-name split: key = everything up to the FIRST dot
+    after the last '/', ext = the rest (itself possibly dotted, e.g.
+    'meta.tsv'). The reference's tar→sample grouping inherits this from
+    webdataset's base_plus_ext (used via tarfile_to_samples, reference
+    data.py:286-288); a last-dot split would break '<key>.meta.tsv'-style
+    sidecar members into phantom samples."""
+    dot = name.find(".", name.rfind("/") + 1)
+    if dot < 0:
+        return name, ""
+    return name[:dot], name[dot + 1:]
+
+
 def iter_tar_samples(
     path: str, handler: Callable[[Exception], bool] = log_and_continue
 ) -> Iterator[Dict[str, bytes]]:
@@ -183,10 +196,7 @@ def iter_tar_samples(
         for member in stream:
             if not member.isfile():
                 continue
-            name = member.name
-            base, _, ext = name.rpartition(".")
-            if not base:
-                base, ext = name, ""
+            base, ext = split_member_name(member.name)
             try:
                 data = stream.extractfile(member).read()
             except Exception as exn:

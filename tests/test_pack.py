@@ -207,6 +207,63 @@ def test_grain_pipeline_on_packed_shards(tmp_path):
     assert imgs.dtype == np.float32
 
 
+def test_pack_refuses_already_packed_shard(tmp_path):
+    """Re-packing a packed shard raises instead of emitting a 0-sample tar."""
+    src = _write_shard(tmp_path / "src.tar", n=3)
+    packed = str(tmp_path / "packed.tar")
+    pack_shard(src, packed, size=48)
+    with pytest.raises(ValueError, match="already"):
+        pack_shard(packed, str(tmp_path / "double.tar"), size=48)
+
+
+def test_pack_passes_through_extra_sidecar_members(tmp_path):
+    """Non-image members beyond json/txt survive packing byte-identical."""
+    src = str(tmp_path / "src.tar")
+    meta = b"id\tscore\n0\t0.7\n"
+    with tarfile.open(src, "w") as tf:
+        img = Image.fromarray(np.zeros((64, 64, 3), np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        for name, data in [("00000.jpg", buf.getvalue()),
+                           ("00000.txt", b"a caption"),
+                           ("00000.meta.tsv", meta)]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    dst = str(tmp_path / "packed.tar")
+    assert pack_shard(src, dst, size=48) == 1
+    (sample,) = iter_tar_samples(dst)
+    assert sample["txt"] == b"a caption"
+    assert sample["meta.tsv"] == meta
+    assert "jpg" not in sample and "raw" in sample
+
+
+def test_pack_shards_rejects_duplicate_basenames(tmp_path):
+    """Two sources expanding to the same basename would collide in out_dir."""
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    _write_shard(tmp_path / "a" / "shard-0000.tar", n=2)
+    _write_shard(tmp_path / "b" / "shard-0000.tar", n=2)
+    spec = f"{tmp_path}/a/shard-0000.tar::{tmp_path}/b/shard-0000.tar"
+    with pytest.raises(ValueError, match="duplicate shard basenames"):
+        pack_shards(spec, str(tmp_path / "packed"), size=48)
+
+
+def test_pack_warns_on_zero_samples(tmp_path, caplog):
+    """A shard with no decodable images packs to 0 samples with a warning."""
+    src = str(tmp_path / "src.tar")
+    with tarfile.open(src, "w") as tf:
+        data = b"not an image"
+        info = tarfile.TarInfo("00000.jpg")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    import logging as _logging
+    with caplog.at_level(_logging.WARNING, logger="colxlip_tpu.data.pack"):
+        n = pack_shard(src, str(tmp_path / "packed.tar"), size=48)
+    assert n == 0
+    assert any("0 samples" in r.message for r in caplog.records)
+
+
 def test_pack_cli(tmp_path, capsys):
     from colxlip_tpu.data.pack import main
 
