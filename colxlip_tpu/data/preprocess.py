@@ -130,3 +130,73 @@ def scrape_config(
         if k != "cli"
     )
     return cfg
+
+
+def run_scrape(cfg: Dict, dry_run: bool = False) -> int:
+    """Execute the img2dataset scrape described by ``scrape_config``.
+
+    Parity with reference preprocess/scraping_cc3m.sh:1-9, which *runs* the
+    scrape rather than printing it. Prefers the Python API (img2dataset's CLI
+    is a thin fire wrapper over ``img2dataset.download``); errors clearly if
+    the package is not installed (it is not bundled — zero-egress dev
+    environments only get the plan via ``dry_run``/``scrape_config``).
+    """
+    print(cfg["cli"])
+    if dry_run:
+        return 0
+    try:
+        from img2dataset import download
+    except ImportError as e:
+        raise RuntimeError(
+            "img2dataset is not installed; install it (`pip install "
+            "img2dataset`) or run the printed CLI on a machine that has it"
+        ) from e
+    download(**{k: v for k, v in cfg.items() if k != "cli"})
+    return 0
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    """CLI: `python -m colxlip_tpu.data.preprocess scrape|presplit|parquet`."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="dataset preparation tooling")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("scrape", help="img2dataset parquet -> wds shards "
+                                       "(reference scraping_cc3m.sh)")
+    sp.add_argument("--parquet", required=True)
+    sp.add_argument("--output-dir", required=True)
+    sp.add_argument("--processes", type=int, default=16)
+    sp.add_argument("--thread-count", type=int, default=64)
+    sp.add_argument("--image-size", type=int, default=512)
+    sp.add_argument("--dry-run", action="store_true",
+                    help="print the img2dataset CLI without executing")
+
+    pp = sub.add_parser("presplit", help="sentence-split caption fields in "
+                                         "tar shards (presplit_captions.py)")
+    pp.add_argument("shards", nargs="+")
+    pp.add_argument("--out-dir", default=None)
+    pp.add_argument("--workers", type=int, default=8)
+
+    cp = sub.add_parser("parquet", help="csv -> parquet")
+    cp.add_argument("csv")
+    cp.add_argument("--out", default=None)
+
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    if args.cmd == "scrape":
+        cfg = scrape_config(
+            args.parquet, args.output_dir, processes=args.processes,
+            thread_count=args.thread_count, image_size=args.image_size)
+        return run_scrape(cfg, dry_run=args.dry_run)
+    if args.cmd == "presplit":
+        out = presplit_captions(args.shards, out_dir=args.out_dir,
+                                num_workers=args.workers)
+        print("\n".join(out))
+        return 0
+    print(convert_csv_to_parquet(args.csv, args.out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -77,3 +77,63 @@ def test_scrape_config():
     assert cfg["output_format"] == "webdataset"
     assert "img2dataset" in cfg["cli"]
     assert "shortIB_captions" in cfg["save_additional_columns"]
+
+
+def test_run_scrape_executes_img2dataset(monkeypatch, capsys):
+    """run_scrape calls img2dataset.download with the plan's kwargs
+    (reference scraping_cc3m.sh executes, not prints)."""
+    import sys
+    import types
+
+    from colxlip_tpu.data.preprocess import run_scrape
+
+    calls = {}
+    fake = types.ModuleType("img2dataset")
+    fake.download = lambda **kw: calls.update(kw)
+    monkeypatch.setitem(sys.modules, "img2dataset", fake)
+    cfg = scrape_config("/x/data.parquet", "/x/out", processes=4)
+    assert run_scrape(cfg) == 0
+    assert calls["url_list"] == "/x/data.parquet"
+    assert calls["processes_count"] == 4
+    assert "cli" not in calls
+    assert "img2dataset" in capsys.readouterr().out
+
+
+def test_run_scrape_errors_without_img2dataset(monkeypatch):
+    import builtins
+    import pytest as _pytest
+
+    from colxlip_tpu.data.preprocess import run_scrape
+
+    real_import = builtins.__import__
+
+    def block(name, *a, **kw):
+        if name == "img2dataset":
+            raise ImportError(name)
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", block)
+    with _pytest.raises(RuntimeError, match="img2dataset is not installed"):
+        run_scrape(scrape_config("/x/a.parquet", "/x/out"))
+
+
+def test_preprocess_cli_scrape_dry_run(capsys):
+    from colxlip_tpu.data.preprocess import main
+
+    rc = main(["scrape", "--parquet", "/x/a.parquet", "--output-dir", "/x/o",
+               "--dry-run"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith("img2dataset ") and "--url-list=/x/a.parquet" in out
+
+
+def test_preprocess_cli_parquet(tmp_path, capsys):
+    import pandas as pd
+
+    from colxlip_tpu.data.preprocess import main
+
+    csv = tmp_path / "x.csv"
+    pd.DataFrame({"url": ["a"], "raw_caption": ["c"]}).to_csv(csv, index=False)
+    rc = main(["parquet", str(csv)])
+    assert rc == 0
+    assert capsys.readouterr().out.strip().endswith(".parquet")
