@@ -236,10 +236,14 @@ def main(argv=None) -> int:
     # Pretrained checkpoints demand bit-compatible BPE tokenization; the
     # zero-merges fallback would silently destroy text-side parity, so it is
     # a hard error here — before any model work (escape hatch:
-    # --allow-degraded-tokenizer).
+    # --allow-degraded-tokenizer). A ``.pt`` resume is a reference-ecosystem
+    # checkpoint and gets the same guard; orbax resumes are self-consistent
+    # with whatever tokenizer trained them.
+    needs_parity_tokenizer = bool(args.pretrained) or bool(
+        resume_from and resume_from.endswith(".pt"))
     tokenizer = get_tokenizer(
         args.model,
-        require_merges=bool(args.pretrained) and not args.allow_degraded_tokenizer,
+        require_merges=needs_parity_tokenizer and not args.allow_degraded_tokenizer,
     )
 
     # model + transforms

@@ -37,28 +37,32 @@ import os
 import sys
 
 
-def _warn_if_degraded_tokenizer() -> None:
+def _check_tokenizer_asset(required: bool) -> bool:
     """Text-side parity against a REAL reference checkpoint additionally
     requires the CLIP BPE merges asset; without it tokenization falls back to
     zero merges and recall numbers are NOT comparable to the reference's.
-    (The offline torch-oracle golden is self-consistent either way.)"""
+    Goldens with ``requires_clip_bpe: true`` make this a hard failure (the
+    offline torch-oracle golden is self-consistent either way). Returns
+    True when the check may proceed."""
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     try:
         from colxlip_tpu.data.tokenizer import SimpleTokenizer
 
         if not SimpleTokenizer().has_merges:
             print("=" * 72, file=sys.stderr)
-            print("WARNING: CLIP BPE merges asset NOT found — tokenizer is in "
+            print(("ERROR" if required else "WARNING") +
+                  ": CLIP BPE merges asset NOT found — tokenizer is in "
                   "the\nzero-merges fallback. Parity vs a real reference "
                   "checkpoint is NOT\nmeaningful until you fetch it: "
                   "python scripts/fetch_assets.py", file=sys.stderr)
             print("=" * 72, file=sys.stderr)
+            return not required
     except Exception as e:  # noqa: BLE001 — the warning must never mask the check
         print(f"(tokenizer asset check skipped: {e})", file=sys.stderr)
+    return True
 
 
 def main() -> int:
-    _warn_if_degraded_tokenizer()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("results_jsonl", help="results.jsonl produced by evaluate()")
     p.add_argument("expected_json", help="expected-results file (schema above)")
@@ -66,7 +70,22 @@ def main() -> int:
                    help="which results.jsonl line to check (default: last)")
     p.add_argument("--tolerance", type=float, default=None,
                    help="override the file's tolerance")
+    p.add_argument("--allow-degraded-tokenizer", action="store_true",
+                   help="check anyway when the golden requires the CLIP BPE "
+                        "asset but it is absent (numbers will NOT match)")
     args = p.parse_args()
+
+    with open(args.expected_json) as f:
+        expected = json.load(f)
+    if expected.get("metrics") is None:
+        print(f"{args.expected_json}: goldens are UNRECORDED — run step 2 of "
+              "docs/PARITY_RUNBOOK.md to produce them from the reference, "
+              "then fill 'metrics'.", file=sys.stderr)
+        return 2
+    required = bool(expected.get("requires_clip_bpe")) \
+        and not args.allow_degraded_tokenizer
+    if not _check_tokenizer_asset(required):
+        return 2
 
     with open(args.results_jsonl) as f:
         lines = [json.loads(l) for l in f if l.strip()]
@@ -75,8 +94,6 @@ def main() -> int:
         return 1
     got = lines[args.line]
 
-    with open(args.expected_json) as f:
-        expected = json.load(f)
     tol = args.tolerance if args.tolerance is not None else expected.get(
         "tolerance", 0.005)
 
