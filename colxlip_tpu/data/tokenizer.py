@@ -80,8 +80,13 @@ def get_pairs(word):
 
 
 def basic_clean(text: str) -> str:
-    # The original chains ftfy.fix_text; ftfy is unavailable offline, so we
-    # unescape HTML entities (twice, like ftfy+unescape does) and strip.
+    # open_clip's basic_clean chains ftfy.fix_text then a double
+    # html.unescape; textfix.fix_text is the native ftfy equivalent
+    # (mojibake repair, surrogates, ligatures, width, quotes, controls, NFC)
+    # so web-scraped caption tokenization matches the reference's.
+    from .textfix import fix_text
+
+    text = fix_text(text)
     text = html.unescape(html.unescape(text))
     return text.strip()
 
