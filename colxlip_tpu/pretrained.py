@@ -33,6 +33,14 @@ PRETRAINED: Dict[str, Dict[str, str]] = {
         "laion400m_e32": f"{_OPENCLIP_BASE}/v0.2-weights/vit_b_16-laion400m_e32-55e67d44.pt",
         "laion2b_s34b_b88k": f"{_HF_BASE}/laion/CLIP-ViT-B-16-laion2B-s34B-b88K/resolve/main/open_clip_pytorch_model.bin",
     },
+    # the perf-flagship scale (docs/BENCH.md ViT-L numbers); same OpenCLIP
+    # registry entries the reference resolves through open_clip.pretrained
+    "ViT-L-14": {
+        "openai": f"{_HF_BASE}/timm/vit_large_patch14_clip_224.openai/resolve/main/open_clip_pytorch_model.bin",
+        "laion400m_e31": f"{_OPENCLIP_BASE}/v0.2-weights/vit_l_14-laion400m_e31-69988bb6.pt",
+        "laion400m_e32": f"{_OPENCLIP_BASE}/v0.2-weights/vit_l_14-laion400m_e32-3d133497.pt",
+        "laion2b_s32b_b82k": f"{_HF_BASE}/laion/CLIP-ViT-L-14-laion2B-s32B-b82K/resolve/main/open_clip_pytorch_model.bin",
+    },
 }
 
 QUICK_GELU_TAGS = ("openai", "laion400m_e31", "laion400m_e32")

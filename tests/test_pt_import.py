@@ -237,3 +237,54 @@ def test_pos_embed_resize_matches_torch_interpolate(grids):
     got = np.asarray(interpolate_pos_embed(jnp.asarray(pe), (nh, nh), (oh, oh)))
     np.testing.assert_allclose(got[1:].reshape(nh, nh, 6), want, atol=1e-5)
     np.testing.assert_array_equal(got[0], pe[0])  # prefix untouched
+
+
+def test_vit_l_structure_import_parity(rng):
+    """ViT-L-14 structural specifics vs the B-scale fixture: 2-digit resblock
+    indices (>=10 layers — regex layer parsing), ASYMMETRIC tower widths
+    (ViT-L: vision 1024 vs text 768), patch 14, embed_dim != width. Runs at
+    reduced width so the oracle stays CPU-cheap; the mapping is shape-generic
+    beyond these structure points (reference factory.py:316-341)."""
+    torch.manual_seed(1)
+    tmodel = TorchColXLIP(image_size=56, patch_size=14, vwidth=96, vlayers=12,
+                          vheads=3, twidth=64, tlayers=12, theads=2,
+                          embed_dim=48, ctx=16)
+    tmodel.eval()
+    cfg = CLIPCfg.from_dict({
+        "embed_dim": 48,
+        "vision_cfg": {"image_size": 56, "layers": 12, "width": 96,
+                       "patch_size": 14, "head_width": 32},
+        "text_cfg": {"context_length": 16, "vocab_size": 49408, "width": 64,
+                     "heads": 2, "layers": 12},
+    })
+    fmodel = ColXLIP(cfg, dtype=jnp.float32)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_openclip_state_dict(sd))
+
+    imgs = rng.standard_normal((2, 56, 56, 3)).astype(np.float32)
+    txts = np.zeros((2, 16), np.int32)
+    txts[:, 0] = 49406
+    txts[0, 1:5] = rng.integers(1, 49000, 4)
+    txts[0, 5] = 49407
+    txts[1, 1:9] = rng.integers(1, 49000, 8)
+    txts[1, 9] = 49407
+
+    with torch.no_grad():
+        ti_pooled, ti_tokens = tmodel.encode_image(
+            torch.from_numpy(imgs).permute(0, 3, 1, 2), normalize=True)
+        tt_pooled, tt_tokens = tmodel.encode_text(
+            torch.from_numpy(txts).long(), normalize=True)
+    fi_pooled, fi_tokens = fmodel.apply(
+        params, jnp.asarray(imgs),
+        method=lambda m, image: m.encode_image(image, normalize=True))
+    ft_pooled, ft_tokens = fmodel.apply(
+        params, text=jnp.asarray(txts),
+        method=lambda m, text: m.encode_text(text, normalize=True))
+    np.testing.assert_allclose(np.asarray(fi_pooled), ti_pooled.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fi_tokens), ti_tokens.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ft_pooled), tt_pooled.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ft_tokens), tt_tokens.numpy(),
+                               rtol=1e-4, atol=1e-5)
