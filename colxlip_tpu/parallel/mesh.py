@@ -19,12 +19,63 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def _slice_ids(devices: Sequence, num_slices: Optional[int]) -> list:
+    """Slice id per device. Real multi-slice TPU deployments expose
+    ``device.slice_index``; ``num_slices`` forces a virtual partition into
+    equal contiguous groups (for CPU-mesh tests and dryruns)."""
+    if num_slices is not None:
+        if num_slices < 1 or len(devices) % num_slices:
+            raise ValueError(
+                f"num_slices={num_slices} must divide {len(devices)} devices")
+        per = len(devices) // num_slices
+        return [i // per for i in range(len(devices))]
+    ids = [getattr(d, "slice_index", None) for d in devices]
+    if any(i is None for i in ids):
+        return [0] * len(devices)
+    return ids
+
+
+def slice_major_device_array(
+    devices: Sequence, model_parallel: int, slice_ids: Sequence[int]
+) -> np.ndarray:
+    """Order devices so the mesh maps onto the ICI/DCN hierarchy:
+
+    - the 'model' axis (fastest-varying) stays entirely WITHIN a slice, so
+      tensor-parallel collectives (the per-layer all-reduces) ride ICI only;
+    - the 'data' axis is slice-major: consecutive data-axis neighbors share
+      a slice except at the num_slices-1 slice boundaries, so ring/all-gather
+      data collectives cross DCN the minimum number of times.
+
+    SURVEY §2.3 backend row: "jax distributed runtime over ICI (intra-slice)
+    / DCN (multi-slice)". Single-slice inputs reduce to the plain reshape.
+    """
+    groups: dict = {}
+    for d, s in zip(devices, slice_ids):
+        groups.setdefault(s, []).append(d)
+    sizes = {len(g) for g in groups.values()}
+    if len(sizes) != 1:
+        raise ValueError(
+            f"unequal devices per slice: { {k: len(v) for k, v in groups.items()} }")
+    per = sizes.pop()
+    if per % model_parallel:
+        raise ValueError(
+            f"model_parallel={model_parallel} must divide the {per} devices "
+            "of one slice — a model axis spanning DCN would put per-layer "
+            "all-reduces on the slow interconnect")
+    rows = [np.asarray(groups[s], dtype=object).reshape(per // model_parallel,
+                                                        model_parallel)
+            for s in sorted(groups)]
+    return np.concatenate(rows, axis=0)
+
+
 def create_mesh(
     n_devices: Optional[int] = None,
     model_parallel: int = 1,
     devices: Optional[Sequence] = None,
+    num_slices: Optional[int] = None,
 ) -> Mesh:
-    """Build a ('data',) or ('data', 'model') mesh over the available chips."""
+    """Build a ('data',) or ('data', 'model') mesh over the available chips,
+    slice-aware on multi-slice (DCN-connected) deployments."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
@@ -34,12 +85,11 @@ def create_mesh(
                 f"{len(devices)} are available — a silently smaller mesh "
                 "would skew batch/sharding assumptions")
         devices = devices[:n_devices]
-    n = len(devices)
+    arr = slice_major_device_array(
+        devices, model_parallel, _slice_ids(devices, num_slices))
     if model_parallel > 1:
-        assert n % model_parallel == 0, (n, model_parallel)
-        arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
         return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    return Mesh(arr.reshape(-1), (DATA_AXIS,))
 
 
 def batch_spec(mesh: Mesh) -> P:
