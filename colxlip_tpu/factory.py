@@ -264,6 +264,7 @@ def create_loss(args) -> TrainStepConfig:
         maxsim_impl=getattr(args, "maxsim_impl", "auto"),
         ce_impl=getattr(args, "ce_impl", "dense"),
         token_dist=getattr(args, "token_dist", "gather"),
+        token_neighborhood=getattr(args, "token_neighborhood", 0),
         mask_mode=getattr(args, "token_mask_mode", "nonzero"),
         dist_impl=getattr(args, "dist_impl", None) or "bidir",
         coca_caption_loss_weight=getattr(args, "coca_caption_loss_weight", 2.0),

@@ -53,6 +53,9 @@ class TrainStepConfig:
     maxsim_impl: str = "auto"
     ce_impl: str = "dense"          # 'fused' = Pallas streaming logsumexp CE
     token_dist: str = "gather"      # 'ring' = blockwise ppermute token loss
+    token_neighborhood: int = 0     # >0: cap token-CE negatives to a
+                                    # K-device ring neighborhood (pod-scale
+                                    # FLOP mitigation; needs token_dist=ring)
     mask_mode: str = "nonzero"
     dist_impl: str = "bidir"              # siglip negative exchange
     clamp_logit_scale: bool = True
@@ -72,6 +75,7 @@ def compute_loss(out: Dict[str, jnp.ndarray], cfg: TrainStepConfig,
             local_loss=cfg.local_loss, gather_with_grad=cfg.gather_with_grad,
             logit_bias=out.get("logit_bias"), maxsim_impl=cfg.maxsim_impl,
             mask_mode=cfg.mask_mode, token_dist=cfg.token_dist,
+            token_neighborhood=cfg.token_neighborhood,
             text_mask=out.get("text_mask"), output_dict=True,
         )
     if cfg.loss_type == "clip":

@@ -223,6 +223,14 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--token-dist", type=str, default="gather",
                         choices=["gather", "ring"],
                         help="ring = blockwise ppermute token-feature exchange")
+    parser.add_argument("--token-neighborhood", type=int, default=0,
+                        help="cap token-CE negatives to a K-device ring "
+                             "neighborhood (K*batch negatives instead of the "
+                             "full global batch). The token MaxSim loss is "
+                             "O(batch x global-batch) FLOPs — at 32k global "
+                             "it is ~12x the towers' compute; this bounds it "
+                             "while the pooled InfoNCE keeps all global "
+                             "negatives. Requires --token-dist ring. 0 = full")
     parser.add_argument("--eval-scoring", type=str, default="global",
                         choices=["global", "maxsim", "mixed"])
 

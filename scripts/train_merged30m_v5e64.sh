@@ -14,10 +14,15 @@ DATA=${DATA:-"/data/cc3m/{0000..0575}.tar::/data/cc12m/{0000..1242}.tar::/data/y
 WEIGHTS=${WEIGHTS:-"1.0::1.0::1.0"}
 LOGS=${LOGS:-./logs}
 
-# Batch 256/chip (16k global on 64 chips) is the measured v5e flagship point:
-# the round-2 sweep (docs/BENCH.md) gives 707 img/s at 256 vs 605 at 512 —
-# larger batches trip XLA back into remat re-execution. Raise to 512 only for
-# the 32k-global ablation, accepting the ~15% step-rate cost.
+# Batch 256/chip (16k global on 64 chips) is the measured v5e flagship point
+# for the towers: 793-805 img/s at 256 vs 645 at 512 single-chip; the round-4
+# cliff analysis (scripts/cliff_analysis.py, docs/BENCH.md) attributes most
+# of that drop to the O(B^2) local MaxSim loss FLOPs, with only ~10% being
+# XLA remat re-execution (clip-loss towers at 512 still run 806 img/s at 77%
+# MFU). For the 32k-global ablation, straight --batch-size 512 beats
+# --accum-freq 2 (506.9 img/s measured: the accumulation pays an extra
+# no-grad pass and recomputes the full-bank loss per microbatch —
+# reference train.py:139-185 semantics).
 #
 # --token-dist ring is REQUIRED at this scale. The default 'gather' mode
 # all-gathers every device's token features (reference loss.py:235-243):
@@ -26,6 +31,17 @@ LOGS=${LOGS:-./logs}
 # OOM. The ppermute ring holds ONE remote block at a time
 # (256*(77+196)*512*2 B ≈ 71 MB) and is loss/grad-exact vs the gather
 # (tests/ring64_probe.py: 64-way parity to 1e-6).
+#
+# --token-neighborhood 8 bounds the token-CE FLOPs, which scale with the
+# GLOBAL batch: the MaxSim token loss is O(B_local x B_global) — measured
+# 37 ms/step at 256x256 single-chip, so a full-global 256x16384 ring would
+# cost ~2.4 s/step/chip (~80 img/s) and 512x32768 ~9.5 s (~50 img/s): the
+# loss, not the towers, dominates pod-scale colclip. K=8 gives every sample
+# 8*256 = 2048 token-CE negatives — exactly the reference's own colxlip
+# training envelope (colxlip.sh: global batch 2048, full token loss) — at
+# ~0.3 s/step loss cost (projected ~440-550 img/s/chip); the cheap pooled
+# InfoNCE keeps ALL 16k/32k global negatives. Set 0 to restore the exact
+# full-global token loss.
 python -m colxlip_tpu.main \
     --train-data "$DATA" \
     --train-data-upsampling-factors "$WEIGHTS" \
@@ -37,6 +53,7 @@ python -m colxlip_tpu.main \
     --batch-size 256 \
     --local-loss \
     --token-dist ring \
+    --token-neighborhood 8 \
     --gather-with-grad \
     --normalize-on-device \
     --epochs 10 \

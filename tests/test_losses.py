@@ -291,3 +291,82 @@ def test_colclip_valid_mask_mode(rng):
     assert np.isfinite(float(out_valid["total_loss"]))
     assert abs(float(out_valid["token_contrastive_loss"])
                - float(out_nonzero["token_contrastive_loss"])) > 1e-6
+
+
+def test_colclip_token_neighborhood_full_equals_ring(rng):
+    """token_neighborhood == world size is exactly the full ring loss."""
+    n = WORLD * 2
+    i, t = _pooled(rng, n=n)
+    ti, tt = _tokens(rng, n=n)
+    mesh = _mesh()
+    scale = jnp.float32(30.0)
+
+    def make(neigh):
+        def per_device(i_, t_, ti_, tt_):
+            out = colclip_loss(
+                i_, t_, ti_, tt_, scale, alpha=0.6, axis_name="data",
+                local_loss=True, gather_with_grad=True, maxsim_impl="xla",
+                token_dist="ring", token_neighborhood=neigh,
+            )
+            return jax.lax.pmean(out["total_loss"], "data")
+        return jax.jit(shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P("data"),) * 4, out_specs=P()))
+
+    v_full = float(make(0)(i, t, ti, tt))
+    v_capped = float(make(WORLD)(i, t, ti, tt))
+    np.testing.assert_allclose(v_capped, v_full, rtol=1e-6)
+
+
+def test_colclip_token_neighborhood_matches_reference(rng):
+    """K=2 neighborhood: token CE over [own block | left-neighbor block]
+    (text rows) and the symmetric pair set (image rows), positives at the
+    slot-0 diagonal — verified against a direct single-device construction."""
+    from colxlip_tpu.losses.clip import cross_entropy_with_integer_labels
+    from colxlip_tpu.ops.maxsim import maxsim
+
+    n = WORLD * 2
+    b = n // WORLD
+    i, t = _pooled(rng, n=n)
+    ti, tt = _tokens(rng, n=n)
+    mesh = _mesh()
+    scale = jnp.float32(30.0)
+    K = 2
+
+    def per_device(i_, t_, ti_, tt_):
+        out = colclip_loss(
+            i_, t_, ti_, tt_, scale, alpha=0.0, axis_name="data",
+            local_loss=True, gather_with_grad=True, maxsim_impl="xla",
+            token_dist="ring", token_neighborhood=K,
+        )
+        return jax.lax.pmean(out["token_contrastive_loss"], "data")
+
+    got = float(jax.jit(shard_map(
+        per_device, mesh=mesh, in_specs=(P("data"),) * 4, out_specs=P()))(
+        i, t, ti, tt))
+
+    # reference: per rank r, text rows vs images {r, r-1}; image rows vs
+    # texts {r, r+1}; labels = arange(b) (slot-0 diagonal)
+    labels = jnp.arange(b)
+    per_rank = []
+    for r in range(WORLD):
+        sl = slice(r * b, (r + 1) * b)
+        left = slice(((r - 1) % WORLD) * b, ((r - 1) % WORLD) * b + b)
+        right = slice(((r + 1) % WORLD) * b, ((r + 1) % WORLD) * b + b)
+        s_text = maxsim(tt[sl], jnp.concatenate([ti[sl], ti[left]]),
+                        impl="xla")
+        s_image = maxsim(jnp.concatenate([tt[sl], tt[right]]), ti[sl],
+                         impl="xla").T
+        ce = (cross_entropy_with_integer_labels(scale * s_image, labels)
+              + cross_entropy_with_integer_labels(scale * s_text, labels)) / 2
+        per_rank.append(float(ce))
+    np.testing.assert_allclose(got, np.mean(per_rank), rtol=1e-5)
+
+
+def test_colclip_token_neighborhood_requires_ring(rng):
+    i, t = _pooled(rng, n=8)
+    ti, tt = _tokens(rng, n=8)
+    with pytest.raises(ValueError, match="token_neighborhood"):
+        colclip_loss(i, t, ti, tt, jnp.float32(10.0), axis_name="data",
+                     local_loss=True, token_dist="gather",
+                     token_neighborhood=2)
