@@ -22,6 +22,12 @@ def main():
     p.add_argument("--loss", default="colclip",
                    choices=["clip", "colclip", "siglip", "coca"])
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--accum-freq", type=int, default=1,
+                   help="gradient accumulation with cached-negative splicing "
+                        "(reference train.py:139-185): each optimizer step "
+                        "consumes accum_freq x batch-size images and the loss "
+                        "sees the full accumulated negative bank — the 32k-"
+                        "global recipe at 256/chip is --accum-freq 2")
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--remat", nargs="?", const="full", default="",
@@ -83,7 +89,7 @@ def main():
         return ColXLIP(cfg, dtype=jnp.bfloat16, remat=remat)
 
     cfg = base_cfg
-    b = args.batch_size
+    b = args.batch_size * args.accum_freq
     s = args.image_size
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.standard_normal((b, s, s, 3)).astype(np.float32))
@@ -103,7 +109,8 @@ def main():
         step = make_train_step(
             model, tx,
             TrainStepConfig(loss_type=loss_type, maxsim_impl=args.maxsim_impl,
-                            ce_impl=args.ce_impl),
+                            ce_impl=args.ce_impl,
+                            accum_freq=args.accum_freq),
             donate=True,
         )
         state, metrics = step(state, images, texts)
@@ -122,20 +129,23 @@ def main():
         # MFU from the compiled step's own FLOP count (XLA cost analysis),
         # against the chip calibration (151 TF/s sustained bf16 matmul on
         # this v5e — docs/BENCH.md) rather than the nominal peak.
-        tflops = None
+        tflops = gf_per_img = None
         try:
             cost = step.lower(state, images, texts).compile().cost_analysis()
             if cost and cost.get("flops"):
                 tflops = cost["flops"] * args.steps / dt / 1e12
+                gf_per_img = cost["flops"] / b / 1e9
         except Exception:  # noqa: BLE001 — cost analysis is best-effort
             pass
         del state
-        return args.steps * b / dt, tflops
+        return args.steps * b / dt, tflops, gf_per_img
 
-    ips, tflops = measure(args.loss, args.gelu)
+    ips, tflops, gf_per_img = measure(args.loss, args.gelu)
+    accum = f", accum {args.accum_freq}" if args.accum_freq > 1 else ""
     result = {
         "metric": f"images/sec/chip ({args.model}, bf16 train step, "
-                  f"{args.loss} loss, {args.gelu}-gelu, batch {b})",
+                  f"{args.loss} loss, {args.gelu}-gelu, "
+                  f"batch {args.batch_size}{accum})",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / args.baseline, 4),
@@ -143,15 +153,22 @@ def main():
     if tflops is not None:
         result["tflops_per_sec"] = round(tflops, 1)
         result["mfu_vs_calibrated_151tf"] = round(tflops / 151.0, 3)
+        # The driver-set 3000 img/s/chip baseline is physically impossible at
+        # this workload's FLOPs (it would need ~2.5x the chip's calibrated
+        # sustained rate); the achievable single-chip ceiling at 100% of the
+        # 151 TF/s calibration is the honest denominator for progress.
+        ceiling = 151e12 / (gf_per_img * 1e9)
+        result["ceiling_img_s_at_calibrated_peak"] = round(ceiling, 1)
+        result["pct_of_ceiling"] = round(ips / ceiling, 3)
     if not args.no_secondary:
         secondary = {}
         if args.loss not in ("clip", "coca"):
-            clip_ips, _ = measure("clip", args.gelu)
+            clip_ips, _, _ = measure("clip", args.gelu)
             secondary[f"clip loss, {args.gelu}-gelu"] = round(clip_ips, 1)
         if args.gelu == "erf":
             # tanh-GELU differs from erf by <= 4.7e-4 absolute — below bf16
             # rounding noise at activation scale — and is ~17% faster
-            tanh_ips, _ = measure(args.loss, "tanh")
+            tanh_ips, _, _ = measure(args.loss, "tanh")
             secondary[f"{args.loss} loss, tanh-gelu"] = round(tanh_ips, 1)
         result["secondary"] = secondary
     print(json.dumps(result))

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -139,6 +140,156 @@ def _bwd_kernel(qkv_ref, dout_ref, dqkv_ref, *, heads: int, head_dim: int,
             ).astype(dqkv_ref.dtype)
 
 
+def _fwd_kernel_heads(q_ref, k_ref, v_ref, out_ref, *, heads: int,
+                      head_dim: int, causal: bool, scale: float):
+    """Grid-over-heads forward: each grid step owns `heads` heads (a 128-wide
+    feature block), letting Mosaic pipeline the next block's DMA behind this
+    block's 2·heads matmuls instead of unrolling all H heads in one
+    invocation."""
+    bb, n, _ = q_ref.shape
+    mask = _causal_mask(n) if causal else None
+    for b in range(bb):
+        for h in range(heads):
+            o = h * head_dim
+            q = q_ref[b, :, o:o + head_dim]
+            k = k_ref[b, :, o:o + head_dim]
+            v = v_ref[b, :, o:o + head_dim]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if mask is not None:
+                s = jnp.where(mask, s, _NEG_INF)
+            e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                e.astype(q_ref.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[b, :, o:o + head_dim] = (pv / denom).astype(out_ref.dtype)
+
+
+def _bwd_kernel_heads(q_ref, k_ref, v_ref, dout_ref, dq_ref, dk_ref, dv_ref,
+                      *, heads: int, head_dim: int, causal: bool,
+                      scale: float):
+    bb, n, _ = q_ref.shape
+    mask = _causal_mask(n) if causal else None
+    for b in range(bb):
+        for h in range(heads):
+            o = h * head_dim
+            q = q_ref[b, :, o:o + head_dim]
+            k = k_ref[b, :, o:o + head_dim]
+            v = v_ref[b, :, o:o + head_dim]
+            do = dout_ref[b, :, o:o + head_dim]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if mask is not None:
+                s = jnp.where(mask, s, _NEG_INF)
+            p = jax.nn.softmax(s, axis=-1)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+            dz = (p * (dp - delta) * scale).astype(q_ref.dtype)
+            p16 = p.astype(q_ref.dtype)
+            dv_ref[b, :, o:o + head_dim] = jax.lax.dot_general(
+                p16, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dv_ref.dtype)
+            dq_ref[b, :, o:o + head_dim] = jax.lax.dot_general(
+                dz, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dq_ref.dtype)
+            dk_ref[b, :, o:o + head_dim] = jax.lax.dot_general(
+                dz, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dk_ref.dtype)
+
+
+def _heads_per_block(heads: int, head_dim: int) -> int:
+    """Heads per grid step such that the feature block is a 128-lane
+    multiple (Mosaic last-dim constraint)."""
+    per = max(1, 128 // head_dim)
+    while heads % per:
+        per += 1
+        if per > heads:
+            return heads
+    return per
+
+
+def _fwd_call_heads(qkv, heads, causal, block_b, interpret):
+    _require_tpu(interpret)
+    b, n, three_hd = qkv.shape
+    hd = three_hd // 3
+    head_dim = hd // heads
+    scale = 1.0 / math.sqrt(head_dim)
+    hpb = _heads_per_block(heads, head_dim)
+    fb = hpb * head_dim
+    itemsize = jnp.dtype(qkv.dtype).itemsize
+    bb = block_b or _pick_block_b(b, n * 4 * fb * itemsize)
+    if b % bb:
+        raise ValueError(f"block_b={bb} does not divide batch {b}")
+    kernel = functools.partial(
+        _fwd_kernel_heads, heads=hpb, head_dim=head_dim, causal=causal,
+        scale=scale)
+    hblocks = heads // hpb
+    # q/k/v feature offsets in units of the fb-wide block
+    qspec = pl.BlockSpec((bb, n, fb), lambda i, j: (i, 0, j))
+    kspec = pl.BlockSpec((bb, n, fb), lambda i, j: (i, 0, hd // fb + j))
+    vspec = pl.BlockSpec((bb, n, fb), lambda i, j: (i, 0, 2 * (hd // fb) + j))
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb, hblocks),
+        in_specs=[qspec, kspec, vspec],
+        out_specs=pl.BlockSpec((bb, n, fb), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * n * n * head_dim,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize * 4 // 3,
+            transcendentals=b * heads * n * n,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+
+
+def _bwd_call_heads(qkv, dout, heads, causal, block_b, interpret):
+    _require_tpu(interpret)
+    b, n, three_hd = qkv.shape
+    hd = three_hd // 3
+    head_dim = hd // heads
+    scale = 1.0 / math.sqrt(head_dim)
+    hpb = _heads_per_block(heads, head_dim)
+    fb = hpb * head_dim
+    itemsize = jnp.dtype(qkv.dtype).itemsize
+    bb = block_b or _pick_block_b(b, n * 7 * fb * itemsize)
+    if b % bb:
+        raise ValueError(f"block_b={bb} does not divide batch {b}")
+    kernel = functools.partial(
+        _bwd_kernel_heads, heads=hpb, head_dim=head_dim, causal=causal,
+        scale=scale)
+    hblocks = heads // hpb
+    spec = lambda off: pl.BlockSpec(  # noqa: E731
+        (bb, n, fb), lambda i, j, _o=off: (i, 0, _o + j))
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b // bb, hblocks),
+        in_specs=[spec(0), spec(hd // fb), spec(2 * (hd // fb)),
+                  spec(0)],
+        out_specs=[pl.BlockSpec((bb, n, fb), lambda i, j: (i, 0, j))] * 3,
+        out_shape=[jax.ShapeDtypeStruct((b, n, hd), qkv.dtype)] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * heads * n * n * head_dim,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize * 7 // 3,
+            transcendentals=b * heads * n * n,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, dout)
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
 def _require_tpu(interpret: bool) -> None:
     # A forced impl='fused' on a non-TPU backend dies inside Mosaic lowering
     # with an opaque error; fail with an actionable one instead (tests use
@@ -229,14 +380,27 @@ def fused_mha_packed(qkv, heads: int, causal: bool = False,
     ready for the ``out_proj`` Dense. No [B,H,N,N] tensor in HBM, forward or
     backward.
     """
+    if _grid_heads():
+        return _fwd_call_heads(qkv, heads, causal, block_b, interpret)
     return _fwd_call(qkv, heads, causal, block_b, interpret)
 
 
+def _grid_heads() -> bool:
+    # experimental A/B knob: grid over (batch-block, head-pair) instead of
+    # unrolling all heads in one invocation (dispatch evidence in
+    # docs/BENCH.md round-4)
+    return os.environ.get("COLXLIP_ATTN_GRID", "batch") == "heads"
+
+
 def _vjp_fwd(qkv, heads, causal, block_b, interpret):
+    if _grid_heads():
+        return _fwd_call_heads(qkv, heads, causal, block_b, interpret), qkv
     return _fwd_call(qkv, heads, causal, block_b, interpret), qkv
 
 
 def _vjp_bwd(heads, causal, block_b, interpret, qkv, dout):
+    if _grid_heads():
+        return (_bwd_call_heads(qkv, dout, heads, causal, block_b, interpret),)
     return (_bwd_call(qkv, dout, heads, causal, block_b, interpret),)
 
 

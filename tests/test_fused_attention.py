@@ -129,3 +129,33 @@ def test_fused_on_non_tpu_backend_raises_clearly(rng):
     q = jnp.zeros((1, 8, 2, 8), jnp.float32)
     with pytest.raises(RuntimeError, match="requires a TPU backend"):
         multi_head_attention(q, q, q, impl="fused")
+
+
+@pytest.mark.parametrize("causal,n,heads,head_dim",
+                         [(False, 197, 12, 64), (True, 77, 8, 64),
+                          (False, 50, 4, 32)])
+def test_grid_heads_variant_parity(monkeypatch, causal, n, heads, head_dim):
+    """The grid-over-heads A/B variant (COLXLIP_ATTN_GRID=heads) must match
+    the reference path exactly, forward and backward (interpret mode)."""
+    from colxlip_tpu.ops.fused_attention import (
+        _bwd_call_heads,
+        _fwd_call_heads,
+        fused_mha_reference,
+    )
+
+    rng = np.random.default_rng(7)
+    b = 4
+    qkv = jnp.asarray(
+        rng.standard_normal((b, n, 3 * heads * head_dim)).astype(np.float32)
+    ) * 0.2
+    out = _fwd_call_heads(qkv, heads, causal, 2, True)
+    ref = fused_mha_reference(qkv, heads, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    dout = jnp.asarray(
+        rng.standard_normal(ref.shape).astype(np.float32)) * 0.1
+    _, vjp = jax.vjp(lambda q: fused_mha_reference(q, heads, causal), qkv)
+    dref = vjp(dout)[0]
+    dgot = _bwd_call_heads(qkv, dout, heads, causal, 2, True)
+    np.testing.assert_allclose(np.asarray(dgot), np.asarray(dref),
+                               atol=1e-4, rtol=1e-4)
