@@ -69,18 +69,20 @@ def sample_diverse_captions(
     n = len(captions_list)
     if n == 0:
         return [""] * k
+    if not isinstance(captions_list, list):
+        captions_list = list(captions_list)
     out: List[str] = []
     for _ in range(k):
         merged_num = rng.randint(1, max_merged_num)
         if merged_num == 1:
-            out.append(rng.choice(list(captions_list)))
+            out.append(rng.choice(captions_list))
         elif rng.random() < 0.5:
             out.append(_merge_contiguous(captions_list, merged_num, rng))
         else:
             if n >= merged_num:
-                chosen = rng.sample(list(captions_list), merged_num)
+                chosen = rng.sample(captions_list, merged_num)
             else:
-                chosen = [rng.choice(list(captions_list)) for _ in range(merged_num)]
+                chosen = [rng.choice(captions_list) for _ in range(merged_num)]
             out.append(". ".join(chosen))
     return out
 

@@ -324,6 +324,12 @@ def main(argv=None) -> int:
         ))
         num_batches = len(train_data)
     else:
+        # The train step consumes ONLY caption 0 of the k sampled per image
+        # (select_caption0; reference train.py:122 discards the rest). Each
+        # of the k diverse-sampling draws is i.i.d., so drawing 1 gives
+        # caption 0 the identical distribution while skipping k-1 wasted
+        # sampling+tokenization passes per sample — measured 5x host-feed
+        # throughput at the k=8 default (docs/BENCH.md round-4 feed section).
         wds_cfg = WdsConfig(
             urls=args.train_data,
             weights=args.train_data_upsampling_factors,
@@ -332,7 +338,7 @@ def main(argv=None) -> int:
             resampled=args.dataset_resampled,
             seed=args.seed,
             num_workers=args.workers,
-            num_sampled_captions=args.num_sampled_captions,
+            num_sampled_captions=1,
             max_merged_num=args.max_merged_num,
             pixelprose=args.pixelprose,
             native_decode=args.native_decode,

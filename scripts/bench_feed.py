@@ -105,9 +105,6 @@ def main() -> int:
     p.add_argument("--n-shards", type=int, default=8)
     p.add_argument("--per-shard", type=int, default=2048)
     p.add_argument("--workers", type=int, default=2)
-    p.add_argument("--shuffle-buffer", type=int, default=2000)
-    p.add_argument("--loss", default="colclip")
-    p.add_argument("--gelu", default="erf")
     p.add_argument("--generate-only", action="store_true")
     args = p.parse_args()
 
@@ -131,7 +128,8 @@ def main() -> int:
     name = f"feed_{args.mode}_{int(time.time())}"
     argv = [
         "--train-data", urls,
-        "--dataset-type", "grain" if args.mode.startswith("grain") else "webdataset",
+        "--dataset-type", "webdataset",
+        "--pipeline", "grain" if args.mode.startswith("grain") else "wds",
         "--model", args.model,
         "--batch-size", str(args.batch_size),
         "--epochs", str(args.epochs),
@@ -140,12 +138,10 @@ def main() -> int:
         "--normalize-on-device",
         "--native-decode",
         "--workers", str(args.workers),
-        "--shuffle-buffer", str(args.shuffle_buffer),
         "--logs", os.path.join(args.root, "logs"),
         "--name", name,
         "--log-every-n-steps", "8",
         "--seed", "0",
-        "--donate",
     ]
     if "packed" in args.mode:
         argv += ["--raw-aug", "crop"]
