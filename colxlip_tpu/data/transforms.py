@@ -153,16 +153,23 @@ class ImageTransform:
         seed: Optional[int] = None,
         normalize_on_device: bool = False,
         raw_aug: str = "rrc",
+        ship: str = "rgb",
     ):
         if raw_aug not in ("rrc", "crop"):
             raise ValueError(f"raw_aug must be 'rrc' or 'crop', got {raw_aug!r}")
+        if ship not in ("rgb", "yuv420"):
+            raise ValueError(f"ship must be 'rgb' or 'yuv420', got {ship!r}")
         self.cfg = cfg
         self.is_train = is_train
         self.aug = aug or AugmentationCfg()
         self.interp = _PIL_INTERP[cfg.interpolation]
         self.rng = random.Random(seed) if seed is not None else random
-        self.normalize_on_device = normalize_on_device
+        # ship='yuv420' implies the device-side normalize path: the per-sample
+        # transform still emits uint8 RGB; the PIPELINE converts assembled
+        # batches to planar YUV420 in one vectorized call (rgb_to_yuv420).
+        self.normalize_on_device = normalize_on_device or ship == "yuv420"
         self.raw_aug = raw_aug
+        self.ship = ship
 
     def __call__(self, img: Image.Image,
                  rng: Optional[random.Random] = None) -> np.ndarray:
@@ -222,10 +229,11 @@ def image_transform(
     seed: Optional[int] = None,
     normalize_on_device: bool = False,
     raw_aug: str = "rrc",
+    ship: str = "rgb",
 ) -> ImageTransform:
     """Build a train or eval transform (factory.py:409-419 counterpart)."""
     cfg = PreprocessCfg(size=image_size, mean=tuple(mean), std=tuple(std),
                         interpolation=interpolation)
     return ImageTransform(cfg, is_train, aug=aug_cfg, seed=seed,
                           normalize_on_device=normalize_on_device,
-                          raw_aug=raw_aug)
+                          raw_aug=raw_aug, ship=ship)

@@ -530,7 +530,7 @@ class WdsTrainPipeline:
         raw_idx = [i for i, it in enumerate(items)
                    if isinstance(it[0], str) and it[0] == "__raw__"]
         if not raw_idx:
-            return np.stack([it[0] for it in items]), txts
+            return self._ship_format(np.stack([it[0] for it in items])), txts
         from .. import native
 
         pcfg = self.transform.cfg
@@ -555,7 +555,19 @@ class WdsTrainPipeline:
         for i, it in enumerate(items):
             if not (isinstance(it[0], str) and it[0] == "__raw__"):
                 imgs[i] = it[0]
-        return imgs, txts
+        return self._ship_format(imgs), txts
+
+    def _ship_format(self, imgs: np.ndarray) -> np.ndarray:
+        """Wire-format conversion of an assembled uint8 RGB batch: with
+        ship='yuv420' the batch leaves the host as planar YUV420 —
+        1.5 bytes/px instead of 3 (ops/yuv420.py). One vectorized call per
+        batch; per-sample transforms stay format-agnostic."""
+        if getattr(self.transform, "ship", "rgb") == "yuv420" \
+                and imgs.dtype == np.uint8 and imgs.ndim == 4:
+            from ..ops.yuv420 import rgb_to_yuv420
+
+            return rgb_to_yuv420(imgs)
+        return imgs
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         cfg = self.cfg

@@ -170,6 +170,7 @@ def create_model_and_transforms(
     seed: int = 0,
     normalize_on_device: bool = False,
     raw_aug: str = "rrc",
+    ship: str = "rgb",
 ):
     """(model, cfg, params, preprocess_train, preprocess_val) —
     reference factory.py:367-421.
@@ -181,7 +182,9 @@ def create_model_and_transforms(
 
     normalize_on_device: the TRAIN transform emits raw uint8 RGB and the
     vision tower normalizes on the accelerator (models/vision.py) — 4x fewer
-    host->device bytes per batch.
+    host->device bytes per batch. ship='yuv420' goes further: train batches
+    leave the host as planar YUV 4:2:0 (1.5 bytes/px, ops/yuv420.py) and the
+    tower reconstructs normalized RGB on device.
     """
     model, cfg = create_model(
         model_name, precision=precision, quick_gelu=quick_gelu,
@@ -213,7 +216,7 @@ def create_model_and_transforms(
     size = cfg.vision_cfg.image_size
     preprocess_train = image_transform(
         size, is_train=True, mean=image_mean, std=image_std, aug_cfg=aug_cfg,
-        normalize_on_device=normalize_on_device, raw_aug=raw_aug,
+        normalize_on_device=normalize_on_device, raw_aug=raw_aug, ship=ship,
     )
     preprocess_val = image_transform(size, is_train=False, mean=image_mean, std=image_std)
     return model, cfg, params, preprocess_train, preprocess_val

@@ -262,6 +262,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         normalize_on_device=args.normalize_on_device,
         raw_aug=args.raw_aug,
+        ship=args.ship_format,
     )
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     logger.info("Model: %s (%.1fM params)", args.model, n_params / 1e6)

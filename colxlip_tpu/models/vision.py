@@ -41,8 +41,17 @@ class VisionTransformer(nn.Module):
         cfg = self.cfg
         b = image.shape[0]
         p = cfg.patch_size
-        gh, gw = image.shape[1] // p, image.shape[2] // p
         width = cfg.width
+
+        if image.ndim == 3:
+            # planar YUV420 feed [B, H*3//2, W] (ops/yuv420.py): 1.5 bytes/px
+            # on the wire; chroma upsample + fused YUV->RGB->normalize affine
+            # reconstructs [B, H, W, 3] float32 here, fused by XLA into the
+            # patchify matmul's input
+            from ..ops.yuv420 import decode_yuv420
+
+            image = decode_yuv420(image, cfg.image_mean, cfg.image_std)
+        gh, gw = image.shape[1] // p, image.shape[2] // p
 
         if jnp.issubdtype(image.dtype, jnp.integer):
             # uint8 feed (normalize-on-device): the host ships raw RGB bytes

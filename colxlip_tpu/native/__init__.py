@@ -75,6 +75,11 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int),
         ctypes.c_int,
     ]
+    lib.cx_rgb_to_yuv420.restype = ctypes.c_int
+    lib.cx_rgb_to_yuv420.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+    ]
     return lib
 
 
@@ -154,6 +159,27 @@ def process_batch(
         crops_ptr, mean_arr, std_arr, num_threads,
     )
     return out, int(failures)
+
+
+def rgb_to_yuv420(rgb: np.ndarray, num_threads: int = 4) -> Optional[np.ndarray]:
+    """Batch uint8 RGB [n, h, w, 3] -> planar YUV420 [n, h*3//2, w], or None
+    when the native lib is unavailable (callers fall back to the numpy path
+    in ops/yuv420.py — bit-identical by construction, pinned by test)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    rgb = np.ascontiguousarray(rgb)
+    if rgb.dtype != np.uint8 or rgb.ndim != 4 or rgb.shape[-1] != 3:
+        raise ValueError(f"expected uint8 [n, h, w, 3], got {rgb.dtype} {rgb.shape}")
+    n, h, w = rgb.shape[:3]
+    out = np.empty((n, h + h // 2, w), np.uint8)
+    rc = lib.cx_rgb_to_yuv420(
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads,
+    )
+    if rc != 0:
+        raise ValueError(f"YUV420 needs even H, W; got {h}x{w}")
+    return out
 
 
 # ---------------------------------------------------------------------------

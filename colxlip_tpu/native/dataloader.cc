@@ -354,4 +354,61 @@ int cx_process_batch_u8(const uint8_t** jpegs, const size_t* lens, int n,
                             nullptr, nullptr, num_threads);
 }
 
+// Batch RGB -> planar YUV 4:2:0 wire-format conversion (ops/yuv420.py):
+// in  [n, h, w, 3] uint8, out [n, h*3/2, w] uint8 (Y rows, then Cb | Cr
+// side by side at h/2 x w/2). BT.601 full-range with the SAME 16-bit
+// fixed-point coefficients as the numpy fallback, chroma from the rounded
+// 2x2 box mean — the two paths are bit-identical (pinned by test). h, w
+// must be even. Memory-bound: threads split on images.
+int cx_rgb_to_yuv420(const uint8_t* in, int n, int h, int w, uint8_t* out,
+                     int num_threads) {
+  if ((h | w) & 1) return 1;
+  const size_t in_stride = static_cast<size_t>(h) * w * 3;
+  const size_t out_stride = static_cast<size_t>(h) * w * 3 / 2;
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      const uint8_t* src = in + in_stride * i;
+      uint8_t* y_out = out + out_stride * i;
+      uint8_t* cb_out = y_out + static_cast<size_t>(h) * w;
+      // Y plane
+      for (int r = 0; r < h; ++r) {
+        const uint8_t* p = src + static_cast<size_t>(r) * w * 3;
+        uint8_t* q = y_out + static_cast<size_t>(r) * w;
+        for (int c = 0; c < w; ++c, p += 3) {
+          q[c] = static_cast<uint8_t>(
+              (19595 * p[0] + 38470 * p[1] + 7471 * p[2] + 32768) >> 16);
+        }
+      }
+      // chroma from the rounded 2x2 box mean; rows h..h*3/2-1 hold
+      // Cb (cols 0..w/2-1) and Cr (cols w/2..w-1)
+      const int hw = w / 2;
+      for (int r = 0; r < h / 2; ++r) {
+        const uint8_t* p0 = src + static_cast<size_t>(2 * r) * w * 3;
+        const uint8_t* p1 = p0 + static_cast<size_t>(w) * 3;
+        uint8_t* qb = cb_out + static_cast<size_t>(r) * w;
+        uint8_t* qr = qb + hw;
+        for (int c = 0; c < hw; ++c) {
+          const int o = c * 6;
+          int rs = (p0[o] + p0[o + 3] + p1[o] + p1[o + 3] + 2) >> 2;
+          int gs = (p0[o + 1] + p0[o + 4] + p1[o + 1] + p1[o + 4] + 2) >> 2;
+          int bs = (p0[o + 2] + p0[o + 5] + p1[o + 2] + p1[o + 5] + 2) >> 2;
+          int cb = ((-11059 * rs - 21709 * gs + 32768 * bs + 32768) >> 16) + 128;
+          int cr = ((32768 * rs - 27439 * gs - 5329 * bs + 32768) >> 16) + 128;
+          qb[c] = static_cast<uint8_t>(cb < 0 ? 0 : (cb > 255 ? 255 : cb));
+          qr[c] = static_cast<uint8_t>(cr < 0 ? 0 : (cr > 255 ? 255 : cr));
+        }
+      }
+    }
+  };
+  int t = std::max(1, std::min(num_threads, n));
+  std::vector<std::thread> threads;
+  threads.reserve(t);
+  for (int i = 0; i < t; ++i) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  return 0;
+}
+
 }  // extern "C"

@@ -60,6 +60,16 @@ def parse_args(args=None) -> argparse.Namespace:
                         help="train batches ship as raw uint8 RGB and the "
                              "accelerator applies (x/255-mean)/std — 4x fewer "
                              "host->device bytes, numerically identical")
+    parser.add_argument("--ship-format", type=str, default="rgb",
+                        choices=["rgb", "yuv420"],
+                        help="train-batch wire format: 'rgb' ships what the "
+                             "transform emits (float32, or uint8 with "
+                             "--normalize-on-device); 'yuv420' ships planar "
+                             "YUV 4:2:0 uint8 (1.5 bytes/px — half of uint8 "
+                             "RGB, 8x less than float32; implies "
+                             "--normalize-on-device) and the vision tower "
+                             "reconstructs normalized RGB on device "
+                             "(ops/yuv420.py)")
     parser.add_argument("--raw-aug", type=str, default="rrc",
                         choices=["rrc", "crop"],
                         help="augmentation on packed raw-uint8 shards "

@@ -106,6 +106,15 @@ def main() -> int:
     p.add_argument("--per-shard", type=int, default=2048)
     p.add_argument("--workers", type=int, default=2)
     p.add_argument("--generate-only", action="store_true")
+    p.add_argument("--host-only", action="store_true",
+                   help="drain the pipeline with NO device: pure host-side "
+                        "decode+augment+tokenize throughput (separates the "
+                        "host feed from the H2D/relay and device terms)")
+    p.add_argument("--host-batches", type=int, default=40,
+                   help="batches to drain in --host-only mode")
+    p.add_argument("--ship", choices=["uint8", "yuv420"], default="uint8",
+                   help="wire format: uint8 RGB (3 B/px) or planar YUV420 "
+                        "(1.5 B/px — halves the H2D bytes)")
     args = p.parse_args()
 
     jpeg_dir = generate_jpeg_shards(args.root, args.n_shards, args.per_shard)
@@ -117,14 +126,44 @@ def main() -> int:
         print("generation complete:", data_dir)
         return 0
 
+    urls = os.path.join(
+        data_dir, "shard-{%04d..%04d}.tar" % (0, args.n_shards - 1))
+    if args.host_only:
+        from colxlip_tpu.data.transforms import image_transform
+        from colxlip_tpu.data.wds import WdsConfig, WdsTrainPipeline
+        from colxlip_tpu.factory import get_tokenizer
+
+        transform = image_transform(
+            224, is_train=True, seed=0, normalize_on_device=True,
+            raw_aug="crop" if "packed" in args.mode else "rrc",
+            ship="yuv420" if args.ship == "yuv420" else "rgb")
+        cfg = WdsConfig(
+            urls=urls, batch_size=args.batch_size, seed=0,
+            num_workers=args.workers, num_sampled_captions=1,
+            native_decode=True)
+        pipe = WdsTrainPipeline(cfg, transform, get_tokenizer(args.model))
+        it = iter(pipe)
+        next(it)  # warm the loader threads before the timing window
+        t0 = time.time()
+        n = 0
+        for _ in range(args.host_batches):
+            images, _texts = next(it)
+            n += images.shape[0]
+        dt = time.time() - t0
+        print(json.dumps({
+            "metric": f"host-only feed img/s ({args.mode}, "
+                      f"batch {args.batch_size}, {args.workers} workers)",
+            "img_s": round(n / dt, 1),
+            "batches": args.host_batches, "wall_s": round(dt, 1),
+        }))
+        return 0
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
     from colxlip_tpu import main as driver
 
-    urls = os.path.join(
-        data_dir, "shard-{%04d..%04d}.tar" % (0, args.n_shards - 1))
     name = f"feed_{args.mode}_{int(time.time())}"
     argv = [
         "--train-data", urls,
@@ -142,9 +181,14 @@ def main() -> int:
         "--name", name,
         "--log-every-n-steps", "8",
         "--seed", "0",
+        # no epoch checkpoints: a ViT-scale orbax save costs minutes over
+        # the ~3-14 MB/s device->host relay and is not what this measures
+        "--save-frequency", "0",
     ]
     if "packed" in args.mode:
         argv += ["--raw-aug", "crop"]
+    if args.ship == "yuv420":
+        argv += ["--ship-format", "yuv420"]
     print("driver argv:", " ".join(argv), flush=True)
     t0 = time.time()
     rc = driver.main(argv)
