@@ -368,7 +368,26 @@ def main(argv=None) -> int:
     mesh = create_mesh(model_parallel=mp) if num_devices > 1 else None
     from .parallel.data_feed import DeviceFeeder
 
-    feeder = DeviceFeeder(mesh)
+    packed_spec = None
+    if args.packed_feed:
+        if mp > 1 or args.fsdp:
+            logger.error("--packed-feed is only supported on the plain "
+                         "data-parallel step (not --model-parallel/--fsdp)")
+            return 1
+        if not (args.normalize_on_device or args.ship_format == "yuv420"):
+            logger.error("--packed-feed requires a uint8 wire format: add "
+                         "--normalize-on-device or --ship-format yuv420")
+            return 1
+        h, w = preprocess_train.cfg.size_hw
+        if args.ship_format == "yuv420":
+            from .ops.yuv420 import yuv420_rows
+
+            img_shape = (yuv420_rows(h), w)
+        else:
+            img_shape = (h, w, 3)
+        packed_spec = (img_shape, cfg.text_cfg.context_length)
+        logger.info("Packed feed: one %s+texts buffer per step", img_shape)
+    feeder = DeviceFeeder(mesh, packed=packed_spec is not None)
     loss_cfg = create_loss(args)
     teacher = None
     if loss_cfg.loss_type == "distill":
@@ -399,7 +418,8 @@ def main(argv=None) -> int:
         logger.info("GSPMD step: tp=%d x dp=%d%s", mp, data_devices,
                     " + fsdp" if args.fsdp else "")
     else:
-        step_fn = make_train_step(model, tx, loss_cfg, mesh=mesh, teacher=teacher)
+        step_fn = make_train_step(model, tx, loss_cfg, mesh=mesh,
+                                  teacher=teacher, packed_feed=packed_spec)
 
     state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
     start_epoch = 0

@@ -44,6 +44,10 @@ class VisionTransformer(nn.Module):
         width = cfg.width
 
         if image.ndim == 3:
+            if not jnp.issubdtype(image.dtype, jnp.integer):
+                raise ValueError(
+                    "3-D image batches must be planar uint8 YUV420 "
+                    f"[B, H*3//2, W]; got {image.dtype} {image.shape}")
             # planar YUV420 feed [B, H*3//2, W] (ops/yuv420.py): 1.5 bytes/px
             # on the wire; chroma upsample + fused YUV->RGB->normalize affine
             # reconstructs [B, H, W, 3] float32 here, fused by XLA into the

@@ -169,6 +169,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     donate: bool = True,
     teacher: Optional[Tuple[Any, Any]] = None,
+    packed_feed: Optional[Tuple[Tuple[int, ...], int]] = None,
 ):
     """Build the jitted train step fn(state, images, texts) -> (state, metrics).
 
@@ -176,6 +177,11 @@ def make_train_step(
     texts:  [B, ctx] int32 (caption 0 already selected, train.py:122)
     teacher: (model, params) for loss_type='distill' — teacher features are
     computed under stop_gradient each step (reference DistillClipLoss usage).
+    packed_feed: (per_sample_img_shape, ctx) — the step instead takes ONE
+    fused [B, bytes] uint8 buffer (data_feed.pack_batch) and unpacks it
+    in-jit: fn(state, buf) -> (state, metrics). One host->device transfer
+    per step instead of two (each put carries a fixed per-call cost on
+    PCIe/relay links).
     """
     axis_name = DATA_AXIS if mesh is not None else None
     forward = build_forward(model, cfg, teacher)
@@ -266,6 +272,27 @@ def make_train_step(
         metrics["logit_scale"] = logit_scale
         metrics["grad_norm"] = optax_global_norm(grads)
         return TrainState(state.step + 1, new_params, new_opt_state), metrics
+
+    if packed_feed is not None:
+        from .data_feed import unpack_batch
+
+        img_shape, ctx = packed_feed
+
+        def packed_step(state: TrainState, buf):
+            images, texts = unpack_batch(buf, img_shape, ctx)
+            return per_device_step(state, images, texts)
+
+        if mesh is None:
+            return jax.jit(packed_step,
+                           donate_argnums=(0,) if donate else ())
+        sharded_packed = shard_map(
+            packed_step,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded_packed, donate_argnums=(0,) if donate else ())
 
     if mesh is None:
         return jax.jit(per_device_step, donate_argnums=(0,) if donate else ())

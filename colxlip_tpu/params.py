@@ -70,6 +70,13 @@ def parse_args(args=None) -> argparse.Namespace:
                              "--normalize-on-device) and the vision tower "
                              "reconstructs normalized RGB on device "
                              "(ops/yuv420.py)")
+    parser.add_argument("--packed-feed", default=False, action="store_true",
+                        help="fuse images+texts into ONE host->device "
+                             "transfer per step (the step unpacks in-jit) — "
+                             "removes the second put's fixed per-call cost; "
+                             "requires a uint8 wire format "
+                             "(--normalize-on-device or --ship-format "
+                             "yuv420) and the non-GSPMD step")
     parser.add_argument("--raw-aug", type=str, default="rrc",
                         choices=["rrc", "crop"],
                         help="augmentation on packed raw-uint8 shards "

@@ -245,7 +245,12 @@ def train_one_epoch(
             if profiler_dir and i == 2:
                 jax.profiler.start_trace(profiler_dir)
                 trace_active = True
-            state, metrics = step_fn(state, images, texts)
+            # packed feed (data_feed.pack_batch): one fused buffer, texts
+            # is None and the step unpacks in-jit
+            if texts is None:
+                state, metrics = step_fn(state, images)
+            else:
+                state, metrics = step_fn(state, images, texts)
             if profiler_dir and i == 4:
                 jax.block_until_ready(metrics["total_loss"])
                 jax.profiler.stop_trace()

@@ -115,6 +115,8 @@ def main() -> int:
     p.add_argument("--ship", choices=["uint8", "yuv420"], default="uint8",
                    help="wire format: uint8 RGB (3 B/px) or planar YUV420 "
                         "(1.5 B/px — halves the H2D bytes)")
+    p.add_argument("--packed-feed", action="store_true",
+                   help="fuse images+texts into one put per step")
     args = p.parse_args()
 
     jpeg_dir = generate_jpeg_shards(args.root, args.n_shards, args.per_shard)
@@ -189,10 +191,29 @@ def main() -> int:
         argv += ["--raw-aug", "crop"]
     if args.ship == "yuv420":
         argv += ["--ship-format", "yuv420"]
+    if args.packed_feed:
+        argv += ["--packed-feed"]
     print("driver argv:", " ".join(argv), flush=True)
     t0 = time.time()
     rc = driver.main(argv)
     wall = time.time() - t0
+
+    # relay calibration: the H2D link's post-execution rate drifts by
+    # session (probe4: 40 MB/s; probe7 same day: 11-21) — stamp the rate
+    # this run actually saw so steady-state numbers are comparable
+    import jax
+    import numpy as np
+
+    cal_bytes = int(np.prod([args.batch_size, 336 if args.ship == "yuv420"
+                             else 224 * 3, 224]))
+    cal = np.random.default_rng(0).integers(
+        0, 255, (cal_bytes,), np.uint8)
+    rates = []
+    for _ in range(3):
+        t1 = time.perf_counter()
+        jax.device_put(cal).block_until_ready()
+        rates.append(cal_bytes / 1e6 / (time.perf_counter() - t1))
+    relay_mbs = round(max(rates), 1)
 
     # steady-state: parse the driver's own samples/s logs, take the median of
     # the second epoch's windows (epoch 0 carries compile + warmup)
@@ -211,7 +232,7 @@ def main() -> int:
         "metric": f"real-data img/s ({args.mode}, {args.model}, "
                   f"batch {args.batch_size})",
         "steady_median": steady, "best_window": best,
-        "wall_s": round(wall, 1), "rc": rc,
+        "wall_s": round(wall, 1), "relay_h2d_mbs": relay_mbs, "rc": rc,
     }))
     return rc
 
