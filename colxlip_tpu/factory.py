@@ -218,7 +218,12 @@ def create_model_and_transforms(
         size, is_train=True, mean=image_mean, std=image_std, aug_cfg=aug_cfg,
         normalize_on_device=normalize_on_device, raw_aug=raw_aug, ship=ship,
     )
-    preprocess_val = image_transform(size, is_train=False, mean=image_mean, std=image_std)
+    # val inherits the uint8 device-normalize wire format (numerically
+    # identical to the host float path — same fp32 op order on device) but
+    # NOT yuv420: eval is parity-sensitive and chroma subsampling is lossy
+    preprocess_val = image_transform(
+        size, is_train=False, mean=image_mean, std=image_std,
+        normalize_on_device=normalize_on_device)
     return model, cfg, params, preprocess_train, preprocess_val
 
 
