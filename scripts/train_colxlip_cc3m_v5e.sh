@@ -19,6 +19,8 @@ python -m colxlip_tpu.main \
     ${PRETRAINED:+--pretrained "$PRETRAINED"} \
     --alpha 0.7 \
     --batch-size 256 \
+    --ship-format yuv420 \
+    --packed-feed \
     --epochs 32 \
     --lr 1e-5 \
     --warmup 2000 \

@@ -30,6 +30,13 @@ LOGS=${LOGS:-./logs}
 #   ViT-L-14 registry tags (pretrained.py; '-colxlip' reuses base weights,
 #   reference factory.py:318-334). Requires the CLIP BPE merges asset
 #   (scripts/fetch_assets.py) — the driver hard-errors without it.
+#
+# --ship-format yuv420 + --packed-feed: the feed wire format (round 4,
+# ops/yuv420.py + parallel/data_feed.py). 1.5 bytes/px planar YUV 4:2:0
+# (half of uint8 RGB on PCIe/disk; decode-to-normalized-RGB is one fused
+# affine on device, 0.93 ms/batch) and images+texts fused into ONE
+# host->device transfer per step. Measured: ViT-L real-data within ~10% of
+# its synthetic bound with data_time ~= 0 (docs/BENCH.md round-4).
 python -m colxlip_tpu.main \
     --train-data "$DATA" \
     --train-data-upsampling-factors "$WEIGHTS" \
@@ -44,7 +51,8 @@ python -m colxlip_tpu.main \
     --token-dist ring \
     --token-neighborhood 8 \
     --gather-with-grad \
-    --normalize-on-device \
+    --ship-format yuv420 \
+    --packed-feed \
     --epochs 10 \
     --lr 1e-5 \
     --beta2 0.98 \
