@@ -289,14 +289,12 @@ class GrainTrainPipeline:
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         epoch = self.shared_epoch.get_value()
         produced = 0
-        yuv = getattr(self.transform, "ship", "rgb") == "yuv420"
-        for images, texts in self._dataset(epoch):
-            images = np.asarray(images)
-            if yuv and images.dtype == np.uint8 and images.ndim == 4:
-                # wire format: planar YUV420, 1.5 bytes/px (ops/yuv420.py)
-                from ..ops.yuv420 import rgb_to_yuv420
+        from ..ops.yuv420 import apply_ship_format
 
-                images = rgb_to_yuv420(images)
+        for images, texts in self._dataset(epoch):
+            # wire format: planar YUV420 when ship='yuv420' (shared
+            # dispatch with the wds pipeline)
+            images = apply_ship_format(self.transform, np.asarray(images))
             yield images, np.asarray(texts)
             produced += 1
             if self.num_batches is not None and produced >= self.num_batches:

@@ -560,14 +560,11 @@ class WdsTrainPipeline:
     def _ship_format(self, imgs: np.ndarray) -> np.ndarray:
         """Wire-format conversion of an assembled uint8 RGB batch: with
         ship='yuv420' the batch leaves the host as planar YUV420 —
-        1.5 bytes/px instead of 3 (ops/yuv420.py). One vectorized call per
-        batch; per-sample transforms stay format-agnostic."""
-        if getattr(self.transform, "ship", "rgb") == "yuv420" \
-                and imgs.dtype == np.uint8 and imgs.ndim == 4:
-            from ..ops.yuv420 import rgb_to_yuv420
+        1.5 bytes/px instead of 3. One vectorized call per batch (shared
+        dispatch: ops/yuv420.apply_ship_format)."""
+        from ..ops.yuv420 import apply_ship_format
 
-            return rgb_to_yuv420(imgs)
-        return imgs
+        return apply_ship_format(self.transform, imgs)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         cfg = self.cfg

@@ -220,10 +220,12 @@ def create_model_and_transforms(
     )
     # val inherits the uint8 device-normalize wire format (numerically
     # identical to the host float path — same fp32 op order on device) but
-    # NOT yuv420: eval is parity-sensitive and chroma subsampling is lossy
+    # NOT yuv420: eval is parity-sensitive and chroma subsampling is lossy.
+    # ship='yuv420' implies the uint8 val ship too — the recipes pass only
+    # --ship-format and must not silently revert eval to float32
     preprocess_val = image_transform(
         size, is_train=False, mean=image_mean, std=image_std,
-        normalize_on_device=normalize_on_device)
+        normalize_on_device=normalize_on_device or ship == "yuv420")
     return model, cfg, params, preprocess_train, preprocess_val
 
 

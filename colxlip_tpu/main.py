@@ -378,6 +378,13 @@ def main(argv=None) -> int:
             logger.error("--packed-feed requires a uint8 wire format: add "
                          "--normalize-on-device or --ship-format yuv420")
             return 1
+        if args.dataset_type == "synthetic" or not args.train_data:
+            # the synthetic pipeline emits float32 batches regardless of the
+            # wire-format flags — fail here, not at the first train step
+            # after minutes of remote compile
+            logger.error("--packed-feed requires the webdataset pipeline "
+                         "(the synthetic dataset emits float32 batches)")
+            return 1
         h, w = preprocess_train.cfg.size_hw
         if args.ship_format == "yuv420":
             from .ops.yuv420 import yuv420_rows

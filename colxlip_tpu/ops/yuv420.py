@@ -100,6 +100,18 @@ def rgb_to_yuv420(rgb: np.ndarray) -> np.ndarray:
     return out
 
 
+def apply_ship_format(transform, imgs: np.ndarray) -> np.ndarray:
+    """Pipeline-level wire-format conversion of an assembled batch: with
+    ``transform.ship == 'yuv420'`` a uint8 RGB [B, H, W, 3] batch leaves the
+    host as planar YUV420 [B, H*3//2, W]. Shared by the wds and grain
+    pipelines so the dispatch condition cannot diverge between them;
+    per-sample transforms stay format-agnostic."""
+    if getattr(transform, "ship", "rgb") == "yuv420" \
+            and imgs.dtype == np.uint8 and imgs.ndim == 4:
+        return rgb_to_yuv420(imgs)
+    return imgs
+
+
 def split_planes(yuv: np.ndarray, h: int, w: int):
     """planar [..., H*3//2, W] -> (Y [...,H,W], Cb, Cr [...,H/2,W/2])."""
     y = yuv[..., :h, :]

@@ -110,10 +110,18 @@ class _PrefetchIterator:
                 got = self._host_q.get(timeout=0.5)
             except queue.Empty:
                 if not self._host_thread.is_alive():
-                    self._put(self._q, RuntimeError(
-                        "prefetch host thread died without a sentinel"))
-                    return
-                continue
+                    # TOCTOU guard: the host thread may have posted its final
+                    # sentinel and exited between our timeout and the
+                    # is_alive() check — drain once more before concluding
+                    # the sentinel is missing
+                    try:
+                        got = self._host_q.get_nowait()
+                    except queue.Empty:
+                        self._put(self._q, RuntimeError(
+                            "prefetch host thread died without a sentinel"))
+                        return
+                else:
+                    continue
             if got is self._DONE or isinstance(got, Exception):
                 self._put(self._q, got)
                 return

@@ -131,6 +131,12 @@ def main() -> int:
     urls = os.path.join(
         data_dir, "shard-{%04d..%04d}.tar" % (0, args.n_shards - 1))
     if args.host_only:
+        if args.mode.startswith("grain"):
+            # --host-only drives the wds pipeline; labeling a wds drain as a
+            # grain measurement would be silently wrong
+            print("--host-only supports the wds pipeline only "
+                  "(modes: jpeg, packed)", file=sys.stderr)
+            return 2
         from colxlip_tpu.data.transforms import image_transform
         from colxlip_tpu.data.wds import WdsConfig, WdsTrainPipeline
         from colxlip_tpu.factory import get_tokenizer
