@@ -507,6 +507,7 @@ def main(argv=None) -> int:
             profiler_dir=args.profile_dir if epoch == start_epoch else None,
             skip_steps=skip, stop_flag=stop_event,
             stop_check_every=args.preempt_check_every,
+            prefetch_depth=args.prefetch_depth,
         )
         if stopped:
             step_done = skip + steps

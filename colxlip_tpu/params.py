@@ -70,6 +70,11 @@ def parse_args(args=None) -> argparse.Namespace:
                              "--normalize-on-device) and the vision tower "
                              "reconstructs normalized RGB on device "
                              "(ops/yuv420.py)")
+    parser.add_argument("--prefetch-depth", type=int, default=2,
+                        help="device-resident batches kept in flight per "
+                             "prefetch stage (host + ship threads each); "
+                             "deeper smooths transfer-latency jitter at the "
+                             "cost of one extra batch of HBM per level")
     parser.add_argument("--packed-feed", default=False, action="store_true",
                         help="fuse images+texts into ONE host->device "
                              "transfer per step (the step unpacks in-jit) — "

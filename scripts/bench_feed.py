@@ -117,6 +117,7 @@ def main() -> int:
                         "(1.5 B/px — halves the H2D bytes)")
     p.add_argument("--packed-feed", action="store_true",
                    help="fuse images+texts into one put per step")
+    p.add_argument("--prefetch-depth", type=int, default=2)
     args = p.parse_args()
 
     jpeg_dir = generate_jpeg_shards(args.root, args.n_shards, args.per_shard)
@@ -199,6 +200,8 @@ def main() -> int:
         argv += ["--ship-format", "yuv420"]
     if args.packed_feed:
         argv += ["--packed-feed"]
+    if args.prefetch_depth != 2:
+        argv += ["--prefetch-depth", str(args.prefetch_depth)]
     print("driver argv:", " ".join(argv), flush=True)
     t0 = time.time()
     rc = driver.main(argv)

@@ -225,3 +225,70 @@ def test_two_process_fsdp_sharded_checkpoint_resume(tmp_path):
           for l in open(os.path.join(sp_logs, "sp", "metrics.jsonl"))]
     assert len(sp) == 12
     np.testing.assert_allclose(mh, sp, rtol=5e-4)
+
+
+def _tiny_wds_shards(root_dir: str, n_shards: int = 2, per: int = 16) -> str:
+    """Tar shards of 64x64-croppable JPEGs with the reference caption
+    layout, for multi-process wds-feed runs."""
+    import io
+    import tarfile
+
+    from PIL import Image
+
+    root = os.path.join(root_dir, "wds")
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(0)
+    sizes = {}
+    for shard in range(n_shards):
+        path = os.path.join(root, f"shard-{shard:04d}.tar")
+        with tarfile.open(path, "w") as tf:
+            for i in range(per):
+                key = f"{shard:04d}{i:05d}"
+                img = Image.fromarray(
+                    (rng.random((72, 80, 3)) * 255).astype(np.uint8))
+                buf = io.BytesIO()
+                img.save(buf, format="JPEG")
+                data = buf.getvalue()
+                info = tarfile.TarInfo(f"{key}.jpg")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                meta = json.dumps(
+                    {"raw_caption": [f"caption {key}"]}).encode()
+                info = tarfile.TarInfo(f"{key}.json")
+                info.size = len(meta)
+                tf.addfile(info, io.BytesIO(meta))
+        sizes[f"shard-{shard:04d}.tar"] = per
+    with open(os.path.join(root, "sizes.json"), "w") as f:
+        json.dump(sizes, f)
+    return root
+
+
+@pytest.mark.slow
+def test_two_process_yuv420_packed_feed(tmp_path):
+    """The pod recipes' default feed (--ship-format yuv420 --packed-feed)
+    through the REAL multi-process path: each host's wds pipeline emits a
+    planar-YUV packed [B_local, bytes] buffer and
+    make_array_from_process_local_data assembles the global batch. Guards
+    the exact configuration scripts/train_*_v5e64.sh ship."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [REPO, env.get("PYTHONPATH", "")] if p)
+    logs = str(tmp_path / "mh")
+    shards = _tiny_wds_shards(str(tmp_path))
+    urls = os.path.join(shards, "shard-{0000..0001}.tar")
+    extra = [
+        "--dataset-type", "webdataset",
+        "--train-data", urls,
+        "--train-num-samples", "32",
+        "--ship-format", "yuv420",
+        "--packed-feed",
+        "--workers", "1",
+    ]
+    _launch_pair(logs, env, 1, extra)
+    run_dir = os.path.join(logs, "mh")
+    mh = [json.loads(l)["total_loss"]
+          for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    # 32 samples / 16 global batch = 2 steps
+    assert len(mh) == 2, mh
+    assert np.isfinite(mh).all()
+    assert "epoch_1" in os.listdir(os.path.join(run_dir, "checkpoints"))
