@@ -140,6 +140,56 @@ def _bwd_kernel(qkv_ref, dout_ref, dqkv_ref, *, heads: int, head_dim: int,
             ).astype(dqkv_ref.dtype)
 
 
+def _fwd_kernel_pipe(qkv_ref, out_ref, *, heads: int, head_dim: int,
+                     causal: bool, scale: float):
+    """Software-pipelined emission order (A/B knob COLXLIP_ATTN_ORDER=pipe).
+
+    The head-major kernel emits QK^T -> softmax -> PV strictly per (b, h)
+    unit: every instruction depends on its predecessor, so the VLIW
+    scheduler has no independent MXU work to pack against the softmax's VPU
+    passes and the MXU idles through them (the round-3 profile's "pipeline
+    bubbles"; notably the BACKWARD — where dP = dO@V^T is independent of the
+    softmax and sits adjacent to it — runs at 35.8 TF/s vs the forward's
+    24.7). This variant issues unit i+1's QK^T before unit i's softmax/PV,
+    so at every point the scheduler sees an MXU matmul and a VPU softmax
+    with no dependence between them.
+    """
+    bb, n, _ = qkv_ref.shape
+    hd = heads * head_dim
+    mask = _causal_mask(n) if causal else None
+    units = [(b, h) for b in range(bb) for h in range(heads)]
+
+    def qk(b, h):
+        o = h * head_dim
+        q = qkv_ref[b, :, o:o + head_dim]
+        k = qkv_ref[b, :, hd + o:hd + o + head_dim]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if mask is not None:
+            s = jnp.where(mask, s, _NEG_INF)
+        return s
+
+    def pv(b, h, s):
+        o = h * head_dim
+        e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        v = qkv_ref[b, :, 2 * hd + o:2 * hd + o + head_dim]
+        out = jax.lax.dot_general(
+            e.astype(qkv_ref.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[b, :, o:o + head_dim] = (out / denom).astype(out_ref.dtype)
+
+    s_prev = qk(*units[0])
+    for i in range(1, len(units)):
+        s_next = qk(*units[i])
+        pv(*units[i - 1], s_prev)
+        s_prev = s_next
+    pv(*units[-1], s_prev)
+
+
 def _fwd_kernel_heads(q_ref, k_ref, v_ref, out_ref, *, heads: int,
                       head_dim: int, causal: bool, scale: float):
     """Grid-over-heads forward: each grid step owns `heads` heads (a 128-wide
@@ -314,8 +364,8 @@ def _fwd_call(qkv, heads, causal, block_b, interpret):
             f"block_b={bb} does not divide batch {b}: the truncated grid "
             "would leave trailing output rows uninitialized")
     kernel = functools.partial(
-        _fwd_kernel, heads=heads, head_dim=head_dim, causal=causal,
-        scale=scale,
+        _fwd_kernel_pipe if _pipe_order() else _fwd_kernel,
+        heads=heads, head_dim=head_dim, causal=causal, scale=scale,
     )
     flops_core = 4 * b * heads * n * n * head_dim
     return pl.pallas_call(
@@ -383,6 +433,12 @@ def fused_mha_packed(qkv, heads: int, causal: bool = False,
     if _grid_heads():
         return _fwd_call_heads(qkv, heads, causal, block_b, interpret)
     return _fwd_call(qkv, heads, causal, block_b, interpret)
+
+
+def _pipe_order() -> bool:
+    # experimental A/B knob: software-pipelined emission order in the
+    # batch-grid forward kernel (see _fwd_kernel_pipe)
+    return os.environ.get("COLXLIP_ATTN_ORDER", "head") == "pipe"
 
 
 def _grid_heads() -> bool:

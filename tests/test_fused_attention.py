@@ -131,6 +131,21 @@ def test_fused_on_non_tpu_backend_raises_clearly(rng):
         multi_head_attention(q, q, q, impl="fused")
 
 
+@pytest.mark.parametrize("causal,n,heads,hd",
+                         [(False, 197, 12, 768), (True, 77, 8, 512)])
+def test_pipe_order_variant_parity(monkeypatch, causal, n, heads, hd):
+    """The software-pipelined emission-order A/B variant
+    (COLXLIP_ATTN_ORDER=pipe) must match the reference exactly. Measured
+    runtime-identical to head-major on hardware (docs/BENCH.md round-4:
+    Mosaic's scheduler canonicalizes emission order), kept as the recorded
+    negative closing the emission-order hypothesis."""
+    monkeypatch.setenv("COLXLIP_ATTN_ORDER", "pipe")
+    qkv = _qkv(4, n, hd, seed=9)
+    out = fused_mha_packed(qkv, heads, causal, 0, True)
+    ref = fused_mha_reference(qkv, heads, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 @pytest.mark.parametrize("causal,n,heads,head_dim",
                          [(False, 197, 12, 64), (True, 77, 8, 64),
                           (False, 50, 4, 32)])
