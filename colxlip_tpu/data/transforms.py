@@ -45,6 +45,25 @@ class AugmentationCfg:
     scale: Tuple[float, float] = (0.9, 1.0)
     ratio: Tuple[float, float] = (3 / 4, 4 / 3)
 
+    @classmethod
+    def from_kwargs(cls, kw: dict) -> "AugmentationCfg":
+        """Build from ``--aug-cfg k=v`` pairs; unknown keys error loudly.
+
+        The CLI surface accepts arbitrary key=value pairs (reference
+        params.py:21-30), so a typo'd or unsupported key must refuse rather
+        than silently train with defaults.
+        """
+        valid = {f.name for f in dataclasses.fields(cls)}
+        unknown = sorted(set(kw) - valid)
+        if unknown:
+            raise ValueError(
+                f"--aug-cfg got unsupported key(s) {unknown}; this build "
+                f"supports {sorted(valid)} (the subset the reference recipes "
+                f"read — open_clip's color_jitter/gray_scale/timm keys are "
+                f"not implemented)")
+        return cls(**{k: tuple(v) if isinstance(v, (list, tuple)) else v
+                      for k, v in kw.items()})
+
 
 _PIL_INTERP = {
     "bicubic": Image.BICUBIC,

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .data.retrieval import RetrievalSuite, build_retrieval_suite
+from .data.transforms import AugmentationCfg
 from .data.synthetic import SyntheticConfig, SyntheticDataset
 from .data.wds import SharedEpoch, WdsConfig, WdsTrainPipeline
 from .factory import create_loss, create_model_and_transforms, get_tokenizer
@@ -259,6 +260,7 @@ def main(argv=None) -> int:
         gelu_approximate=args.gelu_approx,
         image_mean=tuple(args.image_mean) if args.image_mean else None,
         image_std=tuple(args.image_std) if args.image_std else None,
+        aug_cfg=AugmentationCfg.from_kwargs(args.aug_cfg) if args.aug_cfg else None,
         seed=args.seed,
         normalize_on_device=args.normalize_on_device,
         raw_aug=args.raw_aug,

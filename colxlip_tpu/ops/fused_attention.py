@@ -66,6 +66,40 @@ def _causal_mask(n: int):
     return col <= row
 
 
+def _unit_qk(qkv_ref, b, h, *, hd, head_dim, scale, mask):
+    """Masked fp32 QK^T scores for one (batch, head) unit of a packed-QKV
+    block. Shared by _fwd_kernel and _fwd_kernel_pipe — any numerics change
+    here reaches both emission orders."""
+    o = h * head_dim
+    q = qkv_ref[b, :, o:o + head_dim]
+    k = qkv_ref[b, :, hd + o:hd + o + head_dim]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if mask is not None:
+        s = jnp.where(mask, s, _NEG_INF)
+    return s
+
+
+def _unit_pv(qkv_ref, out_ref, b, h, s, *, hd, head_dim):
+    """Softmax + PV + output write for one (batch, head) unit.
+
+    Deferred softmax normalization: divide the [N, D] PV output by the row
+    sums instead of the [N, N] probabilities — one fewer full score-tile VPU
+    pass per head (exp(s-max) <= 1, so the bf16 cast loses no more than the
+    normalized form did)."""
+    o = h * head_dim
+    e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    v = qkv_ref[b, :, 2 * hd + o:2 * hd + o + head_dim]
+    pv = jax.lax.dot_general(
+        e.astype(qkv_ref.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[b, :, o:o + head_dim] = (pv / denom).astype(out_ref.dtype)
+
+
 def _fwd_kernel(qkv_ref, out_ref, *, heads: int, head_dim: int, causal: bool,
                 scale: float):
     bb, n, _ = qkv_ref.shape
@@ -73,27 +107,9 @@ def _fwd_kernel(qkv_ref, out_ref, *, heads: int, head_dim: int, causal: bool,
     mask = _causal_mask(n) if causal else None
     for b in range(bb):
         for h in range(heads):
-            o = h * head_dim
-            q = qkv_ref[b, :, o:o + head_dim]
-            k = qkv_ref[b, :, hd + o:hd + o + head_dim]
-            v = qkv_ref[b, :, 2 * hd + o:2 * hd + o + head_dim]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            if mask is not None:
-                s = jnp.where(mask, s, _NEG_INF)
-            # deferred softmax normalization: divide the [N, D] PV output by
-            # the row sums instead of the [N, N] probabilities — one fewer
-            # full score-tile VPU pass per head (exp(s-max) <= 1, so the
-            # bf16 cast loses no more than the normalized form did)
-            e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
-            denom = jnp.sum(e, axis=-1, keepdims=True)
-            pv = jax.lax.dot_general(
-                e.astype(qkv_ref.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            out_ref[b, :, o:o + head_dim] = (pv / denom).astype(out_ref.dtype)
+            s = _unit_qk(qkv_ref, b, h, hd=hd, head_dim=head_dim,
+                         scale=scale, mask=mask)
+            _unit_pv(qkv_ref, out_ref, b, h, s, hd=hd, head_dim=head_dim)
 
 
 def _bwd_kernel(qkv_ref, dout_ref, dqkv_ref, *, heads: int, head_dim: int,
@@ -160,27 +176,11 @@ def _fwd_kernel_pipe(qkv_ref, out_ref, *, heads: int, head_dim: int,
     units = [(b, h) for b in range(bb) for h in range(heads)]
 
     def qk(b, h):
-        o = h * head_dim
-        q = qkv_ref[b, :, o:o + head_dim]
-        k = qkv_ref[b, :, hd + o:hd + o + head_dim]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        if mask is not None:
-            s = jnp.where(mask, s, _NEG_INF)
-        return s
+        return _unit_qk(qkv_ref, b, h, hd=hd, head_dim=head_dim,
+                        scale=scale, mask=mask)
 
     def pv(b, h, s):
-        o = h * head_dim
-        e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
-        denom = jnp.sum(e, axis=-1, keepdims=True)
-        v = qkv_ref[b, :, 2 * hd + o:2 * hd + o + head_dim]
-        out = jax.lax.dot_general(
-            e.astype(qkv_ref.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        out_ref[b, :, o:o + head_dim] = (out / denom).astype(out_ref.dtype)
+        _unit_pv(qkv_ref, out_ref, b, h, s, hd=hd, head_dim=head_dim)
 
     s_prev = qk(*units[0])
     for i in range(1, len(units)):

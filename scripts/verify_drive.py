@@ -14,13 +14,12 @@ Round-4 observed: loss 2.91→2.10, R@1 global 0.250 / maxsim 0.375 vs
 """
 import os
 import sys
+from functools import partial
 
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
@@ -76,7 +75,10 @@ tx = optax.adamw(1e-3, weight_decay=0.01)
 opt_state = tx.init(params)
 
 
-@jax.jit
+# donate params/opt_state: buffer reuse keeps the in-flight queue from
+# accumulating param copies (the HBM-OOM trap CLAUDE.md flags) if this
+# script is ever reused with a larger config
+@partial(jax.jit, donate_argnums=(0, 1))
 def step(params, opt_state, images, texts):
     def loss_fn(p):
         out = model.apply(p, images, texts)
