@@ -49,27 +49,42 @@ def sha256_of(path: str) -> str:
     return h.hexdigest()
 
 
+# merge count the tokenizer consumes: lines[1 : 49152-256-2+1]
+# (data/tokenizer.py:130 — same slice CLIP's tokenizer uses)
+EXPECTED_MERGES = 49152 - 256 - 2
+
+
 def validate_merges(path: str) -> int:
-    """Sanity-check the merge table independent of the hash pin."""
+    """Sanity-check the merge table independent of the hash pin: the full
+    merge count must be present (a truncated download must not install) and
+    every consumed line must be a 2-token pair."""
     import gzip
 
     with gzip.open(path, "rt", encoding="utf-8") as f:
         lines = f.read().split("\n")
-    merges = lines[1 : 49152 - 256 - 2 + 1]
+    merges = lines[1 : EXPECTED_MERGES + 1]
+    if len(merges) < EXPECTED_MERGES:
+        raise ValueError(
+            f"truncated merge table: {len(merges)} merges, expected "
+            f"{EXPECTED_MERGES}")
     bad = [m for m in merges if len(m.split()) != 2]
     if bad:
         raise ValueError(f"{len(bad)} malformed merge lines, e.g. {bad[:3]}")
     return len(merges)
 
 
-def main() -> int:
+def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dest", default=DEFAULT_DEST)
     p.add_argument("--sha256", default=PINNED_SHA256,
                    help="expected sha256 (hex) of the downloaded file")
     p.add_argument("--no-verify", action="store_true",
                    help="skip the hash pin (structural validation still runs)")
-    args = p.parse_args()
+    p.add_argument("--url", action="append", default=None,
+                   help="override the mirror list (repeatable; file:// works "
+                        "— also how the tests exercise this script)")
+    args = p.parse_args(argv)
+    urls = args.url or URLS
 
     if os.path.exists(args.dest):
         n = validate_merges(args.dest)
@@ -78,7 +93,7 @@ def main() -> int:
         return 0
 
     last_err = None
-    for url in URLS:
+    for url in urls:
         print(f"fetching {url} ...")
         try:
             fd, tmp = tempfile.mkstemp(suffix=".txt.gz")
