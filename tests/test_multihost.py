@@ -264,6 +264,80 @@ def _tiny_wds_shards(root_dir: str, n_shards: int = 2, per: int = 16) -> str:
 
 
 @pytest.mark.slow
+def test_two_process_token_ring_neighborhood(tmp_path):
+    """The pod recipes' token loss (--local-loss --token-dist ring
+    --token-neighborhood) with the ppermute ring crossing a REAL process
+    boundary — the exact collective pattern scripts/train_*_v5e64.sh run on
+    64 chips (reference ring analog: src/colxlip/loss.py:382-467). The
+    2-process x 4-device trajectory must match the 1-process x 8-device run
+    (same global mesh, same data; only the collective transport differs)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [REPO, env.get("PYTHONPATH", "")] if p)
+    logs = str(tmp_path / "mh")
+    extra = ["--local-loss", "--token-dist", "ring",
+             "--token-neighborhood", "2", "--gather-with-grad"]
+    _launch_pair(logs, env, 1, extra)
+    run_dir = os.path.join(logs, "mh")
+    mh = [json.loads(l)["total_loss"]
+          for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    assert len(mh) == 4, mh
+    assert np.isfinite(mh).all()
+
+    from colxlip_tpu.main import main
+
+    sp_logs = str(tmp_path / "sp")
+    assert main([
+        "--model", "ViT-S-16-test", "--dataset-type", "synthetic",
+        "--train-num-samples", "64", "--batch-size", "2",
+        "--epochs", "1", "--lr", "1e-3", "--warmup", "2",
+        "--precision", "fp32", "--logs", sp_logs, "--name", "sp",
+        "--workers", "0", "--log-every-n-steps", "1",
+        "--save-frequency", "0", "--maxsim-impl", "xla",
+        "--seed", "0", "--report-to", "jsonl",
+    ] + extra) == 0
+    sp = [json.loads(l)["total_loss"]
+          for l in open(os.path.join(sp_logs, "sp", "metrics.jsonl"))]
+    assert len(sp) == 4
+    np.testing.assert_allclose(mh, sp, rtol=5e-4)
+
+
+@pytest.mark.slow
+def test_two_process_siglip_bidir(tmp_path):
+    """SigLIP's bidirectional neighbor exchange (reference loss.py:524-560)
+    over ppermute ACROSS a process boundary, with trajectory parity vs the
+    1-process 8-device mesh."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [REPO, env.get("PYTHONPATH", "")] if p)
+    logs = str(tmp_path / "mh")
+    extra = ["--siglip", "--dist-impl", "bidir"]
+    _launch_pair(logs, env, 1, extra)
+    run_dir = os.path.join(logs, "mh")
+    mh = [json.loads(l)["total_loss"]
+          for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    assert len(mh) == 4, mh
+    assert np.isfinite(mh).all()
+
+    from colxlip_tpu.main import main
+
+    sp_logs = str(tmp_path / "sp")
+    assert main([
+        "--model", "ViT-S-16-test", "--dataset-type", "synthetic",
+        "--train-num-samples", "64", "--batch-size", "2",
+        "--epochs", "1", "--lr", "1e-3", "--warmup", "2",
+        "--precision", "fp32", "--logs", sp_logs, "--name", "sp",
+        "--workers", "0", "--log-every-n-steps", "1",
+        "--save-frequency", "0", "--maxsim-impl", "xla",
+        "--seed", "0", "--report-to", "jsonl",
+    ] + extra) == 0
+    sp = [json.loads(l)["total_loss"]
+          for l in open(os.path.join(sp_logs, "sp", "metrics.jsonl"))]
+    assert len(sp) == 4
+    np.testing.assert_allclose(mh, sp, rtol=5e-4)
+
+
+@pytest.mark.slow
 def test_two_process_yuv420_packed_feed(tmp_path):
     """The pod recipes' default feed (--ship-format yuv420 --packed-feed)
     through the REAL multi-process path: each host's wds pipeline emits a
