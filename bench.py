@@ -42,6 +42,27 @@ def main():
                    help="skip the secondary clip-loss measurement")
     p.add_argument("--maxsim-impl", default="auto",
                    choices=["auto", "xla", "streaming", "chunked", "pallas"])
+    p.add_argument("--pod-devices", type=int, default=0,
+                   help="measure the POD-SCALE per-chip loss shape: the "
+                        "local_loss+ring recipe's step compute for an "
+                        "M-chip pod (pooled CE over an M*b-row bank, token "
+                        "CE over the --token-neighborhood ring window) on "
+                        "one chip via parallel/pod_shape.py — e.g. "
+                        "--pod-devices 64 --token-neighborhood 8 is the "
+                        "v5e-64 recipe shape")
+    p.add_argument("--token-neighborhood", type=int, default=0,
+                   help="ring window K for --pod-devices (0 = full ring = "
+                        "the reference's own envelope when M*b matches it)")
+    p.add_argument("--window-mode", default="scan",
+                   choices=["scan", "fused"],
+                   help="pod-shape token window: 'scan' = the ring's "
+                        "one-block-at-a-time form; 'fused' = one MaxSim "
+                        "call over the gathered K-block window")
+    p.add_argument("--text-ctx", type=int, default=0,
+                   help="override the text context length (A/B for the "
+                        "2-bucket text geometry: most captions are far "
+                        "shorter than the fixed 77 the reference always "
+                        "computes, reference transformer.py:863)")
     p.add_argument("--ce-impl", default="dense", choices=["dense", "fused"],
                    help="'fused' streams CE without materializing logits "
                         "(clip InfoNCE via ops/fused_ce.py; coca caption CE "
@@ -78,6 +99,12 @@ def main():
         _, base_cfg = create_model(args.model)
     else:
         base_cfg = CLIPCfg.from_dict(get_model_config(args.model))
+    if args.text_ctx:
+        if is_coca:
+            p.error("--text-ctx is not supported for CoCa configs")
+        base_cfg = dataclasses.replace(
+            base_cfg, text_cfg=dataclasses.replace(
+                base_cfg.text_cfg, context_length=args.text_ctx))
 
     def build(gelu):
         if is_coca:
@@ -106,13 +133,28 @@ def main():
             model, tx, jax.random.PRNGKey(0), images[:2], texts[:2])
         # donate=True: buffer reuse is the real training configuration (and
         # queued non-donated steps OOM the chip)
-        step = make_train_step(
-            model, tx,
-            TrainStepConfig(loss_type=loss_type, maxsim_impl=args.maxsim_impl,
-                            ce_impl=args.ce_impl,
-                            accum_freq=args.accum_freq),
-            donate=True,
-        )
+        if args.pod_devices and loss_type == "colclip":
+            from colxlip_tpu.parallel.pod_shape import make_pod_shape_step
+
+            step = make_pod_shape_step(
+                model, tx,
+                TrainStepConfig(loss_type="colclip",
+                                alpha=0.7,  # the pod recipes' alpha
+                                maxsim_impl=args.maxsim_impl,
+                                token_neighborhood=args.token_neighborhood,
+                                gather_with_grad=True),
+                pod_devices=args.pod_devices,
+                window_mode=args.window_mode, donate=True,
+            )
+        else:
+            step = make_train_step(
+                model, tx,
+                TrainStepConfig(loss_type=loss_type,
+                                maxsim_impl=args.maxsim_impl,
+                                ce_impl=args.ce_impl,
+                                accum_freq=args.accum_freq),
+                donate=True,
+            )
         state, metrics = step(state, images, texts)
         for _ in range(args.warmup - 1):
             state, metrics = step(state, images, texts)
@@ -142,10 +184,16 @@ def main():
 
     ips, tflops, gf_per_img = measure(args.loss, args.gelu)
     accum = f", accum {args.accum_freq}" if args.accum_freq > 1 else ""
+    pod = ""
+    if args.pod_devices:
+        k = args.token_neighborhood or args.pod_devices
+        pod = (f", pod shape M={args.pod_devices} "
+               f"(global {args.pod_devices * args.batch_size}, "
+               f"token window {k * args.batch_size})")
     result = {
         "metric": f"images/sec/chip ({args.model}, bf16 train step, "
                   f"{args.loss} loss, {args.gelu}-gelu, "
-                  f"batch {args.batch_size}{accum})",
+                  f"batch {args.batch_size}{accum}{pod})",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / args.baseline, 4),

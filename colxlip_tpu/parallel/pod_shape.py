@@ -42,13 +42,30 @@ from .train_step import (
 
 
 def _blockwise_rows(local, blocks, *, transpose: bool, maxsim_impl: str,
-                    mask_mode: str):
-    """[b_rows, K*b] MaxSim rows from a scan over K key/query blocks — the
-    single-chip analog of losses/colclip.py:_ring_maxsim_rows (same one
-    compiled block body via lax.scan, same slot layout: slot s is block s,
-    positives on the slot-0 diagonal)."""
+                    mask_mode: str, window_mode: str = "scan"):
+    """[b_rows, K*b] MaxSim rows over K key/query blocks.
+
+    window_mode='scan': a lax.scan over the blocks — the single-chip analog
+    of losses/colclip.py:_ring_maxsim_rows (same one compiled block body,
+    same slot layout: slot s is block s, positives on the slot-0 diagonal).
+
+    window_mode='fused': flatten the K blocks into one [K*b, L, D] tensor
+    and make ONE maxsim call — the analog of all-gathering the capped
+    neighborhood in one collective instead of ring-scanning it (the window
+    is K*b*L*D bytes, e.g. 411 MB at the v5e-64 recipe shape — feasible,
+    unlike the full global gather). Same math, same slot layout; the A/B
+    decides which form the recipes should run.
+    """
     k, b_block = blocks.shape[0], blocks.shape[1]
     b_rows = local.shape[0]
+
+    if window_mode == "fused":
+        window = blocks.reshape(k * b_block, *blocks.shape[2:])
+        if not transpose:
+            return maxsim(local, window, mask_mode=mask_mode,
+                          impl=maxsim_impl).astype(jnp.float32)
+        return maxsim(window, local, mask_mode=mask_mode,
+                      impl=maxsim_impl).T.astype(jnp.float32)
 
     def body(cols, xs):
         s, block = xs
@@ -81,6 +98,7 @@ def pod_shape_loss(
     maxsim_impl: str = "auto",
     mask_mode: str = "nonzero",
     label_offset: int = 0,                # rank*b in the real layout
+    window_mode: str = "scan",            # 'scan' (ring) | 'fused' (gather)
     output_dict: bool = True,
 ):
     """The per-chip loss of the local_loss+ring(+neighborhood) operating
@@ -95,10 +113,10 @@ def pod_shape_loss(
     logits_per_text = logit_scale * _matmul_t(text_features, all_image)
     s_text = _blockwise_rows(
         token_text_features, tok_image_blocks, transpose=False,
-        maxsim_impl=maxsim_impl, mask_mode=mask_mode)
+        maxsim_impl=maxsim_impl, mask_mode=mask_mode, window_mode=window_mode)
     s_image = _blockwise_rows(
         token_image_features, tok_text_blocks, transpose=True,
-        maxsim_impl=maxsim_impl, mask_mode=mask_mode)
+        maxsim_impl=maxsim_impl, mask_mode=mask_mode, window_mode=window_mode)
     logits_per_text_token = logit_scale * s_text
     logits_per_image_token = logit_scale * s_image
 
@@ -159,6 +177,7 @@ def make_pod_shape_step(
     cfg: TrainStepConfig,
     *,
     pod_devices: int,
+    window_mode: str = "scan",
     donate: bool = True,
 ):
     """Jitted single-chip step fn(state, images, texts) -> (state, metrics)
@@ -178,6 +197,7 @@ def make_pod_shape_step(
             out["token_image_features"], out["token_text_features"],
             out["logit_scale"], alpha=cfg.alpha,
             maxsim_impl=cfg.maxsim_impl, mask_mode=cfg.mask_mode,
+            window_mode=window_mode,
             **banks,
         )
         return losses["total_loss"], (losses, out["logit_scale"])

@@ -75,10 +75,12 @@ def _rank_banks(feats, rank, k):
     )
 
 
+@pytest.mark.parametrize("window_mode", ["scan", "fused"])
 @pytest.mark.parametrize("neighborhood", [2, 0])
-def test_pod_shape_loss_matches_mesh_loss(feats, neighborhood):
+def test_pod_shape_loss_matches_mesh_loss(feats, neighborhood, window_mode):
     """mean over ranks of pod_shape_loss(true banks) == mesh ring loss,
-    for both the capped (K=2) and full-ring (K=0 -> 8) windows."""
+    for both the capped (K=2) and full-ring (K=0 -> 8) windows, in both
+    the ring-scan and gathered-window ('fused') forms."""
     want = _mesh_loss(feats, neighborhood)
     i, t, ti, tt = feats
     k = neighborhood or WORLD
@@ -88,6 +90,7 @@ def test_pod_shape_loss_matches_mesh_loss(feats, neighborhood):
         out = pod_shape_loss(
             i[sl], t[sl], ti[sl], tt[sl], jnp.float32(30.0),
             alpha=0.6, maxsim_impl="xla", label_offset=r * B,
+            window_mode=window_mode,
             **_rank_banks(feats, r, k),
         )
         per_rank.append(float(out["total_loss"]))
