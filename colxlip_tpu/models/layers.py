@@ -279,6 +279,23 @@ class MLP(nn.Module):
         proj_init = self.proj_init or nn.initializers.lecun_normal()
         hidden = int(self.dim * self.mlp_ratio)
 
+        # int8-forward A/B (env COLXLIP_MLP_INT8=fwd): both MLP matmuls run
+        # int8 x int8 -> int32 on the MXU with straight-through bf16
+        # backward (ops/quantization.py int8_st_linear) — the precision-
+        # headroom experiment toward the north-star throughput. Param paths
+        # stay (mlp/c_fc, mlp/c_proj), checkpoint-compatible.
+        import os
+
+        if os.environ.get("COLXLIP_MLP_INT8", "") == "fwd":
+            from ..ops.quantization import int8_st_linear
+
+            w1, b1 = _DenseParams(hidden, self.param_dtype, fc_init,
+                                  name="c_fc")(x.shape[-1])
+            w2, b2 = _DenseParams(self.dim, self.param_dtype, proj_init,
+                                  name="c_proj")(hidden)
+            h = int8_st_linear(x.astype(self.dtype), w1, b1)
+            return int8_st_linear(self.act(h), w2, b2)
+
         # fused Pallas path (TPU): whole MLP in one kernel, zero [B,N,4D]
         # HBM residuals, recompute backward (ops/fused_mlp.py). Param paths
         # (mlp/c_fc, mlp/c_proj) are identical to the Dense branch, so

@@ -104,6 +104,57 @@ def int8_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
     return out.astype(x.dtype)
 
 
+@jax.custom_vjp
+def int8_st_linear(x: jnp.ndarray, kernel: jnp.ndarray,
+                   bias: jnp.ndarray) -> jnp.ndarray:
+    """Linear layer with an int8-MXU FORWARD and a straight-through bf16
+    backward (the precision-headroom experiment, VERDICT r4 #5).
+
+    Forward: dynamic per-row symmetric int8 activation quant x per-column
+    int8 weight quant -> int8 x int8 -> int32 dot (the v5e MXU's ~2x-bf16
+    path) -> fp32 rescale by the outer product of scales + bias.
+    Backward: exact bf16/fp32 gradients from the saved full-precision
+    inputs (straight-through estimator w.r.t. the quantization) — training
+    dynamics see quantization only as forward noise.
+    """
+    y, _ = _int8_fwd_impl(x, kernel, bias)
+    return y
+
+
+def _int8_fwd_impl(x, kernel, bias):
+    *lead, d = x.shape
+    x2 = x.reshape(-1, d).astype(jnp.float32)
+    # per-row activation scale (dynamic), per-column weight scale (symmetric)
+    xmax = jnp.max(jnp.abs(x2), axis=1, keepdims=True)
+    xs = jnp.maximum(xmax / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(x2 / xs), -127, 127).astype(jnp.int8)
+    wq, ws = quantize_int8_xla(kernel.astype(jnp.float32), axis=0)
+    acc = jax.lax.dot_general(
+        xq, wq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+    y = acc * xs * ws + bias.astype(jnp.float32)
+    return y.reshape(*lead, -1).astype(x.dtype), (x, kernel)
+
+
+def _int8_st_fwd(x, kernel, bias):
+    y, res = _int8_fwd_impl(x, kernel, bias)
+    return y, res
+
+
+def _int8_st_bwd(res, g):
+    x, kernel = res
+    *lead, d = x.shape
+    g2 = g.reshape(-1, g.shape[-1])
+    x2 = x.reshape(-1, d)
+    dx = (g2 @ kernel.astype(g2.dtype).T).reshape(x.shape).astype(x.dtype)
+    dw = (x2.astype(jnp.float32).T @ g2.astype(jnp.float32)).astype(kernel.dtype)
+    db = jnp.sum(g2.astype(jnp.float32), axis=0).astype(g.dtype)
+    return dx, dw, db
+
+
+int8_st_linear.defvjp(_int8_st_fwd, _int8_st_bwd)
+
+
 def quantize_params_int8(params, *, min_size: int = 1 << 16):
     """Quantize every large 2-D kernel in a param tree to (int8, scale).
 
