@@ -126,14 +126,18 @@ def main():
     texts_np[:, 20] = 49407
     texts = jnp.asarray(texts_np)
 
-    def measure(loss_type, gelu):
+    def measure(loss_type, gelu, pod_devices=None, token_neighborhood=None):
+        if pod_devices is None:
+            pod_devices = args.pod_devices
+        if token_neighborhood is None:
+            token_neighborhood = args.token_neighborhood
         model = build(gelu)
         tx = create_optimizer(cosine_lr(1e-3, 100, 10000), weight_decay=0.2)
         state = init_train_state(
             model, tx, jax.random.PRNGKey(0), images[:2], texts[:2])
         # donate=True: buffer reuse is the real training configuration (and
         # queued non-donated steps OOM the chip)
-        if args.pod_devices and loss_type == "colclip":
+        if pod_devices and loss_type == "colclip":
             from colxlip_tpu.parallel.pod_shape import make_pod_shape_step
 
             step = make_pod_shape_step(
@@ -141,9 +145,9 @@ def main():
                 TrainStepConfig(loss_type="colclip",
                                 alpha=0.7,  # the pod recipes' alpha
                                 maxsim_impl=args.maxsim_impl,
-                                token_neighborhood=args.token_neighborhood,
+                                token_neighborhood=token_neighborhood,
                                 gather_with_grad=True),
-                pod_devices=args.pod_devices,
+                pod_devices=pod_devices,
                 window_mode=args.window_mode, donate=True,
             )
         else:
@@ -218,6 +222,15 @@ def main():
             # rounding noise at activation scale — and is ~17% faster
             tanh_ips, _, _ = measure(args.loss, "tanh")
             secondary[f"{args.loss} loss, tanh-gelu"] = round(tanh_ips, 1)
+        if args.loss == "colclip" and not args.pod_devices \
+                and args.accum_freq == 1:
+            # the v5e-64 recipe's per-chip operating point (local_loss +
+            # ring + token-neighborhood 8; parallel/pod_shape.py): the
+            # number the pod recipes quote, measured not projected
+            pod_ips, _, _ = measure("colclip", args.gelu,
+                                    pod_devices=64, token_neighborhood=8)
+            secondary["colclip pod shape M=64 K=8 (v5e-64 recipe)"] = \
+                round(pod_ips, 1)
         result["secondary"] = secondary
     print(json.dumps(result))
 

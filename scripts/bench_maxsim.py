@@ -23,6 +23,10 @@ import time
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--kbatch", type=int, default=0,
+                   help="key-side batch (images for the text-row direction); "
+                        "0 = same as --batch. The pod-shape window is "
+                        "--batch 256 --kbatch 2048 (K=8 neighborhood)")
     p.add_argument("--lt", type=int, default=77)
     p.add_argument("--li", type=int, default=196)
     p.add_argument("--dim", type=int, default=512)
@@ -40,14 +44,15 @@ def main():
 
     rng = np.random.default_rng(0)
     b, lt, li, d = args.batch, args.lt, args.li, args.dim
+    kb = args.kbatch or b
     t = jnp.asarray(rng.standard_normal((b, lt, d)), jnp.bfloat16) * 0.1
-    im = jnp.asarray(rng.standard_normal((b, li, d)), jnp.bfloat16) * 0.1
+    im = jnp.asarray(rng.standard_normal((kb, li, d)), jnp.bfloat16) * 0.1
 
     # FLOPs: fwd one sim einsum; bwd recompute + dT + dI einsums -> 4 einsums
     # of 2*M*K*Lt*Li*D. (In the single-chip train step the two loss
     # directions are identical calls and XLA CSEs them, so one direction is
     # the representative cost — the profile's ~3 TFLOP backward matches.)
-    flops = 4 * 2.0 * b * b * lt * li * d
+    flops = 4 * 2.0 * b * kb * lt * li * d
 
     for mc in args.chunks:
         def loss_fn(tt, ii):

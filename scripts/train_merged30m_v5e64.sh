@@ -33,15 +33,19 @@ LOGS=${LOGS:-./logs}
 # (tests/ring64_probe.py: 64-way parity to 1e-6).
 #
 # --token-neighborhood 8 bounds the token-CE FLOPs, which scale with the
-# GLOBAL batch: the MaxSim token loss is O(B_local x B_global) — measured
-# 37 ms/step at 256x256 single-chip, so a full-global 256x16384 ring would
-# cost ~2.4 s/step/chip (~80 img/s) and 512x32768 ~9.5 s (~50 img/s): the
-# loss, not the towers, dominates pod-scale colclip. K=8 gives every sample
+# GLOBAL batch: the MaxSim token loss is O(B_local x B_global) — the loss,
+# not the towers, dominates pod-scale colclip. K=8 gives every sample
 # 8*256 = 2048 token-CE negatives — exactly the reference's own colxlip
-# training envelope (colxlip.sh: global batch 2048, full token loss) — at
-# ~0.3 s/step loss cost (projected ~440-550 img/s/chip); the cheap pooled
-# InfoNCE keeps ALL 16k/32k global negatives. Set 0 to restore the exact
-# full-global token loss.
+# training envelope (colxlip.sh: global batch 2048, full token loss).
+# MEASURED on the v5e chip (round 5, bench.py --pod-devices 64
+# --token-neighborhood 8 --batch-size 256 — the exact per-chip loss math
+# of this recipe, tests/test_pod_shape.py): 330.7 img/s/chip, so ~21k
+# img/s on the v5e-64 before ICI overlap; the 2048-global full-ring
+# envelope (--pod-devices 8, K=0) measures the same 331.1 — the token
+# window, not the pooled bank, sets the cost. The gathered-window
+# alternative to the ring scan measured SLOWER (304.7; --window-mode
+# fused). The cheap pooled InfoNCE keeps ALL 16k/32k global negatives.
+# Set 0 to restore the exact full-global token loss.
 #
 # --ship-format yuv420 + --packed-feed: the feed wire format (round 4,
 # ops/yuv420.py + parallel/data_feed.py). 1.5 bytes/px planar YUV 4:2:0
