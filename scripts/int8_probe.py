@@ -24,22 +24,36 @@ import numpy as np
 
 
 def bench(fn, args, iters):
-    """Chained in-jit loop; returns seconds per iteration."""
+    """Chained in-jit loop; returns seconds per iteration.
+
+    The feedback consumes a MEAN of the output (a slice would let XLA
+    compute one row of the matmul) and the timed run uses different inputs
+    than the warmup (relay re-dispatch of identical args measured
+    impossibly fast — see docs/BENCH.md methodology)."""
 
     @jax.jit
     def loop(x, *rest):
         def body(c, _):
             out = fn(c, *rest)
-            # feed a slice back in so iterations chain (no dead-code elim)
-            return x + out[:1, :1].astype(x.dtype) * 0, out[0, 0]
-        c, outs = jax.lax.scan(body, x, None, length=iters)
+            s = jnp.mean(out.astype(jnp.float32))  # forces the full output
+            c = (c + (s * 0).astype(c.dtype)).astype(c.dtype)
+            return c, s
+        _, outs = jax.lax.scan(body, x, None, length=iters)
         return outs[-1]
 
     r = loop(*args)
     jax.block_until_ready(r)  # compile + warm
+    # second warmup on DIFFERENT args: the first post-compile dispatch in
+    # this relay absorbs queue/warmup costs (measured: the first timed leg
+    # of a multi-case probe read 70-1000x slow regardless of which case ran
+    # first); time the third call on fresh args
+    x2 = (args[0] + jnp.ones((), args[0].dtype)).astype(args[0].dtype)
+    jax.block_until_ready(x2)
+    jax.device_get(loop(x2, *args[1:]))
+    x3 = (x2 + jnp.ones((), x2.dtype)).astype(x2.dtype)
+    jax.block_until_ready(x3)
     t0 = time.perf_counter()
-    r = loop(*args)
-    r = float(jax.device_get(r))
+    r = float(jax.device_get(loop(x3, *args[1:])))
     dt = time.perf_counter() - t0
     assert np.isfinite(r)
     return dt / iters
