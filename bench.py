@@ -41,7 +41,7 @@ def main():
     p.add_argument("--no-secondary", action="store_true",
                    help="skip the secondary clip-loss measurement")
     p.add_argument("--maxsim-impl", default="auto",
-                   choices=["auto", "xla", "streaming", "chunked", "pallas"])
+                   choices=["auto", "xla", "streaming", "streaming_int8", "chunked", "pallas"])
     p.add_argument("--pod-devices", type=int, default=0,
                    help="measure the POD-SCALE per-chip loss shape: the "
                         "local_loss+ring recipe's step compute for an "

@@ -230,6 +230,59 @@ def _maxsim_streaming_bwd(m_chunk, res, g):
 _maxsim_streaming_core.defvjp(_maxsim_streaming_fwd, _maxsim_streaming_bwd)
 
 
+def _quant_tokens_int8(x):
+    """Per-token symmetric int8 over the feature dim: [..., L, D] ->
+    (int8 values, [..., L] fp32 scales). A zero token row (the EOT-zeroed
+    text tail the 'nonzero' mask keys on) quantizes to exact zeros, so its
+    sim stays exactly 0."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.round(xf / s).astype(jnp.int8)
+    return q, s[..., 0]
+
+
+def _mknq_max_tiles_int8(t, token_image, m_chunk):
+    """int8-MXU variant of _mknq_max_tiles: the sim einsum runs int8 x int8
+    -> int32 (measured 157 vs 113 TF/s bf16 on the v5e, scripts/
+    int8_probe.py) with per-token scales applied in the max's fused input.
+    Token features are l2-normalized per token, so per-token symmetric int8
+    carries ~1e-2 absolute sim error — forward noise only (the backward is
+    straight-through on the fp inputs)."""
+    m, lt, d = t.shape
+    tq, ts = _quant_tokens_int8(t)
+    iq, is_ = _quant_tokens_int8(token_image)
+    tiles_q = tq.reshape(m // m_chunk, m_chunk, lt, d)
+    tiles_s = ts.reshape(m // m_chunk, m_chunk, lt)
+
+    def tile(args):
+        tt, tscale = args
+        acc = jnp.einsum("mnd,kqd->mknq", tt, iq,
+                         preferred_element_type=jnp.int32)
+        sim = (acc.astype(jnp.float32)
+               * tscale[:, None, :, None] * is_[None, :, None, :])
+        return jnp.max(sim, axis=3)  # [mc, K, Lt]
+
+    return jax.lax.map(tile, (tiles_q, tiles_s)).reshape(
+        m, token_image.shape[0], lt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _maxsim_streaming_core_int8(t, token_image, m_chunk):
+    return _mknq_max_tiles_int8(t, token_image, m_chunk)
+
+
+def _maxsim_streaming_int8_fwd(t, token_image, m_chunk):
+    return _mknq_max_tiles_int8(t, token_image, m_chunk), (t, token_image)
+
+
+# straight-through backward: identical to the bf16 streaming path (routes
+# against its own bf16 recomputed max — self-consistent by design; the int8
+# forward differs only by quantization noise in the VALUE)
+_maxsim_streaming_core_int8.defvjp(
+    _maxsim_streaming_int8_fwd, _maxsim_streaming_bwd)
+
+
 def maxsim_streaming(
     token_text: jnp.ndarray,
     token_image: jnp.ndarray,
@@ -237,13 +290,15 @@ def maxsim_streaming(
     mask_mode: str = "nonzero",
     text_mask: Optional[jnp.ndarray] = None,
     m_chunk: int = 16,
+    int8: bool = False,
 ) -> jnp.ndarray:
     """[M,Lt,D] x [K,Li,D] -> [M,K] fp32; peak temp one [mc,K,Lt,Li] tile."""
     m = token_text.shape[0]
     m_chunk = min(m_chunk, m)
     m_pad = (-m) % m_chunk
     t = jnp.pad(token_text, ((0, m_pad), (0, 0), (0, 0)))
-    max_sim = _maxsim_streaming_core(t, token_image, m_chunk)[:m]
+    core = _maxsim_streaming_core_int8 if int8 else _maxsim_streaming_core
+    max_sim = core(t, token_image, m_chunk)[:m]
     return _masked_mean_from_maxsim(max_sim, mask_mode, text_mask)
 
 
@@ -257,7 +312,8 @@ def maxsim(
     m_chunk: int = 16,
     k_chunk: int = 256,
 ) -> jnp.ndarray:
-    """Dispatch MaxSim. impl in {'auto', 'xla', 'streaming', 'chunked', 'pallas'}.
+    """Dispatch MaxSim. impl in {'auto', 'xla', 'streaming',
+    'streaming_int8', 'chunked', 'pallas'}.
 
     'auto' picks the STREAMING path for large problems (round-2 measurement,
     v5e batch 256: the chunked path's AD backward recomputes every sim tile
@@ -279,6 +335,11 @@ def maxsim(
         return maxsim_streaming(
             token_text, token_image, mask_mode=mask_mode, text_mask=text_mask,
             m_chunk=m_chunk,
+        )
+    if impl == "streaming_int8":
+        return maxsim_streaming(
+            token_text, token_image, mask_mode=mask_mode, text_mask=text_mask,
+            m_chunk=m_chunk, int8=True,
         )
     if impl == "chunked":
         return maxsim_chunked(

@@ -235,7 +235,7 @@ def parse_args(args=None) -> argparse.Namespace:
     parser.add_argument("--dist-impl", type=str, default=None,
                         choices=[None, "bidir", "shift", "reduce", "gather"])
     parser.add_argument("--maxsim-impl", type=str, default="auto",
-                        choices=["auto", "xla", "streaming", "chunked", "pallas"],
+                        choices=["auto", "xla", "streaming", "streaming_int8", "chunked", "pallas"],
                         help="'auto' dispatches 'streaming' (custom-VJP) for "
                              "training-scale shapes; explicit values force "
                              "one path")

@@ -121,3 +121,42 @@ def test_maxsim_streaming_gradients_match_xla(rng, mask_mode):
     g2t, g2i = jax.grad(loss_streaming, argnums=(0, 1))(tj, ij)
     np.testing.assert_allclose(np.asarray(g1t), np.asarray(g2t), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(g1i), np.asarray(g2i), rtol=1e-4, atol=1e-6)
+
+
+def test_streaming_int8_close_and_zero_rows_exact(rng):
+    """int8 streaming MaxSim: values within quantization noise of the fp
+    path; EOT-zeroed text token rows produce EXACT zeros so the 'nonzero'
+    masked mean keys identically."""
+    from colxlip_tpu.ops.maxsim import maxsim
+
+    def l2n(x):
+        return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+    t = l2n(rng.standard_normal((8, 7, 32)).astype(np.float32))
+    t[:, 4:] = 0.0  # zeroed tails
+    i = l2n(rng.standard_normal((6, 5, 32)).astype(np.float32))
+    t, i = jnp.asarray(t), jnp.asarray(i)
+    want = np.asarray(maxsim(t, i, mask_mode="nonzero", impl="streaming"))
+    got = np.asarray(maxsim(t, i, mask_mode="nonzero", impl="streaming_int8"))
+    assert np.abs(got - want).max() < 0.02, np.abs(got - want).max()
+
+
+def test_streaming_int8_backward_is_straight_through(rng):
+    """int8 forward, fp straight-through backward: grads equal the bf16
+    streaming path's for the same cotangent."""
+    from colxlip_tpu.ops.maxsim import maxsim
+
+    def l2n(x):
+        return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+    t = jnp.asarray(l2n(rng.standard_normal((8, 7, 32)).astype(np.float32)))
+    i = jnp.asarray(l2n(rng.standard_normal((6, 5, 32)).astype(np.float32)))
+    ct = jnp.asarray(rng.standard_normal((8, 6)).astype(np.float32))
+
+    _, vjp_q = jax.vjp(
+        lambda a, b: maxsim(a, b, mask_mode="plain", impl="streaming_int8"), t, i)
+    _, vjp_fp = jax.vjp(
+        lambda a, b: maxsim(a, b, mask_mode="plain", impl="streaming"), t, i)
+    for gq, gf in zip(vjp_q(ct), vjp_fp(ct)):
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(gf),
+                                   rtol=1e-5, atol=1e-6)
