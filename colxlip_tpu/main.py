@@ -246,6 +246,26 @@ def main(argv=None) -> int:
         args.model,
         require_merges=needs_parity_tokenizer and not args.allow_degraded_tokenizer,
     )
+    # --text-ctx: train-time data-side context override (the text tower
+    # slices its positional embedding to the input length, so the params and
+    # every eval path keep the config's full context). EOT lands inside the
+    # window (the tokenizer truncates with EOT forced into the last slot),
+    # which the EOT-zeroing + argmax pooling invariants require.
+    train_ctx = args.text_ctx or 0
+    if train_ctx:
+        if not 3 <= train_ctx <= tokenizer.context_length:
+            logger.error("--text-ctx %d must be in [3, %d] (the model's "
+                         "context)", train_ctx, tokenizer.context_length)
+            return 1
+        train_tokenizer = get_tokenizer(
+            args.model, context_length=train_ctx,
+            require_merges=needs_parity_tokenizer
+            and not args.allow_degraded_tokenizer,
+        )
+        logger.info("Train text context: %d (eval keeps %d)",
+                    train_ctx, tokenizer.context_length)
+    else:
+        train_tokenizer = tokenizer
 
     # model + transforms
     model, cfg, params, preprocess_train, preprocess_val = create_model_and_transforms(
@@ -320,7 +340,7 @@ def main(argv=None) -> int:
         h = h if isinstance(h, int) else h[0]
         train_data = SyntheticDataset(SyntheticConfig(
             batch_size=host_batch, image_size=(h, h),
-            context_length=cfg.text_cfg.context_length,
+            context_length=train_ctx or cfg.text_cfg.context_length,
             num_sampled_captions=args.num_sampled_captions,
             seed=args.seed, num_samples=num_samples,
             rank=jax.process_index(), world_size=jax.process_count(),
@@ -352,9 +372,9 @@ def main(argv=None) -> int:
         if args.pipeline == "grain":
             from .data.grain_pipeline import GrainTrainPipeline
 
-            train_data = GrainTrainPipeline(wds_cfg, preprocess_train, tokenizer, shared_epoch)
+            train_data = GrainTrainPipeline(wds_cfg, preprocess_train, train_tokenizer, shared_epoch)
         else:
-            train_data = WdsTrainPipeline(wds_cfg, preprocess_train, tokenizer, shared_epoch)
+            train_data = WdsTrainPipeline(wds_cfg, preprocess_train, train_tokenizer, shared_epoch)
         num_batches = train_data.num_batches or 1000
     steps_per_epoch = args.steps_per_epoch or num_batches
     total_steps = steps_per_epoch * args.epochs
@@ -394,7 +414,7 @@ def main(argv=None) -> int:
             img_shape = (yuv420_rows(h), w)
         else:
             img_shape = (h, w, 3)
-        packed_spec = (img_shape, cfg.text_cfg.context_length)
+        packed_spec = (img_shape, train_ctx or cfg.text_cfg.context_length)
         logger.info("Packed feed: one %s+texts buffer per step", img_shape)
     feeder = DeviceFeeder(mesh, packed=packed_spec is not None)
     loss_cfg = create_loss(args)

@@ -255,6 +255,19 @@ def parse_args(args=None) -> argparse.Namespace:
                              "negatives. Requires --token-dist ring. 0 = full")
     parser.add_argument("--eval-scoring", type=str, default="global",
                         choices=["global", "maxsim", "mixed"])
+    parser.add_argument("--text-ctx", type=int, default=0,
+                        help="train-time text context length override (data "
+                             "side only: tokenizer truncation + batch shape; "
+                             "model params stay at the config's 77, the text "
+                             "tower slices its positional embedding). The "
+                             "reference always computes the full fixed 77 "
+                             "(transformer.py:863) while web captions fit "
+                             "far shorter windows (scripts/"
+                             "caption_length_stats.py: >=96%% of coco/"
+                             "flickr-style captions fit 32) — shrinking the "
+                             "train context cuts both text-tower and token-"
+                             "loss FLOPs. Eval keeps the full context. "
+                             "0 = model default")
 
     # distributed (jax runtime)
     parser.add_argument("--dist-coordinator", type=str, default=None,
