@@ -20,7 +20,7 @@ def main():
     p.add_argument("--model", default="ViT-B-16-colxlip")
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--loss", default="colclip",
-                   choices=["clip", "colclip", "siglip", "coca"])
+                   choices=["clip", "colclip", "siglip", "coca", "distill"])
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--accum-freq", type=int, default=1,
                    help="gradient accumulation with cached-negative splicing "
@@ -135,6 +135,14 @@ def main():
         tx = create_optimizer(cosine_lr(1e-3, 100, 10000), weight_decay=0.2)
         state = init_train_state(
             model, tx, jax.random.PRNGKey(0), images[:2], texts[:2])
+        teacher = None
+        if loss_type == "distill":
+            # teacher = frozen same-config tower pair (the cost shape of the
+            # reference's --distill-model path: one extra no-grad dual-tower
+            # forward + soft-CE; reference loss.py distillation branch)
+            teacher_params = model.init(
+                jax.random.PRNGKey(7), images[:2], texts[:2])
+            teacher = (model, teacher_params)
         # donate=True: buffer reuse is the real training configuration (and
         # queued non-donated steps OOM the chip)
         if pod_devices and loss_type == "colclip":
@@ -157,6 +165,7 @@ def main():
                                 maxsim_impl=args.maxsim_impl,
                                 ce_impl=args.ce_impl,
                                 accum_freq=args.accum_freq),
+                teacher=teacher,
                 donate=True,
             )
         state, metrics = step(state, images, texts)
