@@ -105,6 +105,38 @@ def main():
             report(f"{name} (BPE-estimated: no merges asset)",
                    estimated_bpe_lengths(caps), args.buckets)
 
+    # The MERGED distribution the recipes actually train on: run the real
+    # diverse-sampling/merge augmentation (data/captions.py, reference
+    # data.py:146-182) over per-image caption pools. This is what sizes the
+    # --text-ctx bucket for the merged recipes (round-5 measurement: p95=49,
+    # fits_48=.945, fits_64=.999 at max_merged_num=3 -> --text-ctx 64 is
+    # semantically lossless there).
+    coco_path = suites["coco_val2017"][0]
+    if os.path.exists(coco_path):
+        import collections
+        import random as _random
+
+        from colxlip_tpu.data.captions import sample_diverse_captions as _sdc
+
+        with open(coco_path) as f:
+            ann = json.load(f)
+        per_img = collections.defaultdict(list)
+        for a in ann["annotations"]:
+            per_img[a["image_id"]].append(a["caption"])
+        pools = [v for v in per_img.values() if len(v) >= 3]
+        pools = pools[: args.num_samples * 2]
+        mrng = _random.Random(0)
+        merged = [c for pool in pools
+                  for c in _sdc(pool, k=2,
+                                max_merged_num=args.max_merged_num, rng=mrng)]
+        if tok.has_merges:
+            report(f"coco merged sampler (max_merged={args.max_merged_num})",
+                   token_lengths(tok, merged), args.buckets)
+        else:
+            report(f"coco merged sampler (max_merged={args.max_merged_num}, "
+                   "BPE-estimated: no merges asset)",
+                   estimated_bpe_lengths(merged), args.buckets)
+
     if args.train_data:
         import random
         import tarfile
