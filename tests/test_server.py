@@ -254,3 +254,42 @@ def test_batcher_failure_isolated():
         np.testing.assert_allclose(out, 2.0)
     finally:
         b.stop()
+
+
+def test_text_ctx_buckets_exact_and_routed():
+    """Serving ctx bucketing: a wave whose captions fit a short bucket
+    encodes [n, bucket]; outputs (incl. zero-padded token features) are
+    EXACTLY the full-context encode (the token tail is EOT-zeroed)."""
+    from colxlip_tpu.factory import create_model, init_params
+    from colxlip_tpu.serving.server import InferenceEngine
+
+    model, cfg = create_model("ViT-S-16-test-colxlip")
+    params = init_params(model, cfg)
+    full = cfg.text_cfg.context_length
+    eng_b = InferenceEngine(model, params, max_batch=8,
+                            text_ctx_buckets=(16,))
+    eng_f = InferenceEngine(model, params, max_batch=8)
+
+    rng = np.random.default_rng(0)
+    short = np.zeros((3, full), np.int32)
+    short[:, 0] = 49406
+    short[:, 1:6] = rng.integers(1, 49000, (3, 5))
+    short[:, 6] = 49407
+
+    out_b = [np.asarray(o) for o in eng_b.run("text", short)]
+    assert eng_b.last_text_ctx == 16
+    out_f = [np.asarray(o) for o in eng_f.run("text", short)]
+    assert len(out_b) == len(out_f)
+    for ob, of in zip(out_b, out_f):
+        assert ob.shape == of.shape  # token features padded back to full
+        np.testing.assert_allclose(ob, of, atol=2e-5)
+
+    # a caption past the bucket routes to the full context
+    long = short.copy()
+    long[:, 6] = 1
+    long[:, full - 1] = 49407
+    eng_b.run("text", long)
+    assert eng_b.last_text_ctx == full
+
+    # warmup compiles the bucket ladder without error
+    eng_b.warmup({"text": (full,)})

@@ -32,6 +32,27 @@ def test_prefetch_float_cast():
     it.close()
 
 
+def test_prefetch_truncation_meter():
+    """EOT in the LAST slot <=> the caption hit the context cap; the meter
+    makes a mis-sized --text-ctx visible (text_trunc_rate in the log)."""
+    from colxlip_tpu.data.tokenizer import EOT_TOKEN
+    from colxlip_tpu.training.logging_utils import AverageMeter
+
+    def batches():
+        texts = np.zeros((4, 16), np.int32)
+        texts[:, 0] = 49406
+        texts[:2, -1] = EOT_TOKEN     # 2 of 4 truncated
+        texts[2:, 5] = EOT_TOKEN      # EOT inside the window: not truncated
+        yield np.zeros((4, 8, 8, 3), np.uint8), texts
+
+    meter = AverageMeter()
+    it = _PrefetchIterator(batches(), trunc_meter=meter)
+    next(it)
+    it.close()
+    assert meter.count == 1
+    assert meter.avg == pytest.approx(0.5)
+
+
 def test_prefetch_propagates_exception():
     def bad():
         yield next(_batches(1, np.float32))
