@@ -189,9 +189,15 @@ def make_train_step_gspmd(
     ``shard_state(..., fsdp=True)`` so the incoming state matches.
     """
     validate_gspmd_config(cfg)
-    forward = build_forward(model, cfg, teacher)
+    teacher_model, teacher_params = (
+        teacher if teacher is not None else (None, None))
+    # teacher params ride as a jit ARGUMENT, not a closure constant (the
+    # HTTP-413 remote-compile trap at ViT scale; see build_forward note)
+    forward = build_forward(
+        model, cfg, (teacher_model, None) if teacher_model is not None
+        else None)
 
-    def step(state: TrainState, images, texts):
+    def step(state: TrainState, images, texts, t_params=None):
         images = jax.lax.with_sharding_constraint(
             images, NamedSharding(mesh, P(DATA_AXIS))
         )
@@ -200,7 +206,7 @@ def make_train_step_gspmd(
         )
 
         def loss_fn(params):
-            out = forward(params, images, texts)
+            out = forward(params, images, texts, t_params)
             losses = compute_loss(out, cfg, None)
             return losses["total_loss"], (losses, out["logit_scale"])
 
@@ -226,6 +232,8 @@ def make_train_step_gspmd(
 
     def call(state, images, texts):
         with jax.sharding.set_mesh(mesh):
+            if teacher_model is not None:
+                return jitted(state, images, texts, teacher_params)
             return jitted(state, images, texts)
 
     return call

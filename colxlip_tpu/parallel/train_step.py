@@ -133,10 +133,17 @@ def build_forward(model, cfg: TrainStepConfig,
     on both paths."""
     teacher_model, teacher_params = teacher if teacher is not None else (None, None)
 
-    def forward(params, images, texts):
+    def forward(params, images, texts, t_params=None):
         out = model.apply(params, images, texts, train=True)
         if teacher_model is not None:
-            t_out = teacher_model.apply(teacher_params, images, texts)
+            # t_params (per-call jit argument) overrides the closure default:
+            # closing the jit over concrete teacher params embeds them as
+            # constants in the serialized module — hundreds of MB at ViT
+            # scale, which overflows the remote-compile request (the HTTP
+            # 413 trap, docs/BENCH.md round-3)
+            t_out = teacher_model.apply(
+                teacher_params if t_params is None else t_params,
+                images, texts)
             out = dict(out)
             out["dist_image_features"] = jax.lax.stop_gradient(t_out["image_features"])
             out["dist_text_features"] = jax.lax.stop_gradient(t_out["text_features"])
@@ -184,14 +191,20 @@ def make_train_step(
     PCIe/relay links).
     """
     axis_name = DATA_AXIS if mesh is not None else None
-    forward = build_forward(model, cfg, teacher)
+    teacher_model, teacher_params = (
+        teacher if teacher is not None else (None, None))
+    # build the forward WITHOUT closing over the teacher params — they are
+    # threaded through the step as a jit argument (see build_forward note)
+    forward = build_forward(
+        model, cfg, (teacher_model, None) if teacher_model is not None
+        else None)
 
-    def loss_fn(params, images, texts):
-        out = forward(params, images, texts)
+    def loss_fn(params, images, texts, t_params=None):
+        out = forward(params, images, texts, t_params)
         losses = compute_loss(out, cfg, axis_name)
         return losses["total_loss"], (losses, out["logit_scale"])
 
-    def microbatched_loss_fn(params, images, texts):
+    def microbatched_loss_fn(params, images, texts, t_params=None):
         """Grad accumulation with cached-negative splicing (train.py:139-185).
 
         Pass 1: encode all accum_freq microbatches without gradients.
@@ -205,7 +218,7 @@ def make_train_step(
         tx_ = texts.reshape(n, b, *texts.shape[1:])
 
         def encode(mb):
-            out = forward(params, mb[0], mb[1])
+            out = forward(params, mb[0], mb[1], t_params)
             # cache every batch-dim output (the reference caches all model
             # outputs except the scalars, train.py:146-150) so coca logits/
             # labels and distill features splice too. Membership is decided
@@ -224,7 +237,7 @@ def make_train_step(
 
         def one_micro(j):
             def inner(params):
-                out_j = forward(params, im[j], tx_[j])
+                out_j = forward(params, im[j], tx_[j], t_params)
                 spliced = {}
                 for k, bank in cached.items():
                     live = out_j[k]
@@ -248,15 +261,15 @@ def make_train_step(
         losses = jax.tree.map(lambda x: jnp.mean(x), losses_all)
         return grads, losses, logit_scale
 
-    def per_device_step(state: TrainState, images, texts):
+    def per_device_step(state: TrainState, images, texts, t_params=None):
         if cfg.accum_freq > 1:
             grads, losses, logit_scale = microbatched_loss_fn(
-                state.params, images, texts
+                state.params, images, texts, t_params
             )
         else:
             (_, (losses, logit_scale)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(state.params, images, texts)
+            )(state.params, images, texts, t_params)
 
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
@@ -273,39 +286,55 @@ def make_train_step(
         metrics["grad_norm"] = optax_global_norm(grads)
         return TrainState(state.step + 1, new_params, new_opt_state), metrics
 
+    donate_idx = (0,) if donate else ()
+    has_teacher = teacher_model is not None
+
+    def _bind(jitted, packed=False):
+        # teacher params ride as a per-call jit ARGUMENT (see build_forward
+        # note) — bind them here so callers keep the documented
+        # fn(state, images, texts) / fn(state, buf) signature
+        if not has_teacher:
+            return jitted
+        if packed:
+            return lambda state, buf: jitted(state, buf, teacher_params)
+        return lambda state, images, texts: jitted(
+            state, images, texts, teacher_params)
+
     if packed_feed is not None:
         from .data_feed import unpack_batch
 
         img_shape, ctx = packed_feed
 
-        def packed_step(state: TrainState, buf):
+        def packed_step(state: TrainState, buf, t_params=None):
             images, texts = unpack_batch(buf, img_shape, ctx)
-            return per_device_step(state, images, texts)
+            return per_device_step(state, images, texts, t_params)
 
         if mesh is None:
-            return jax.jit(packed_step,
-                           donate_argnums=(0,) if donate else ())
+            return _bind(jax.jit(packed_step, donate_argnums=donate_idx),
+                         packed=True)
         sharded_packed = shard_map(
             packed_step,
             mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS)),
+            in_specs=(P(), P(DATA_AXIS)) + ((P(),) if has_teacher else ()),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        return jax.jit(sharded_packed, donate_argnums=(0,) if donate else ())
+        return _bind(jax.jit(sharded_packed, donate_argnums=donate_idx),
+                     packed=True)
 
     if mesh is None:
-        return jax.jit(per_device_step, donate_argnums=(0,) if donate else ())
+        return _bind(jax.jit(per_device_step, donate_argnums=donate_idx))
 
     state_spec = P()
     sharded = shard_map(
         per_device_step,
         mesh=mesh,
-        in_specs=(state_spec, P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(state_spec, P(DATA_AXIS), P(DATA_AXIS))
+        + ((P(),) if has_teacher else ()),
         out_specs=(state_spec, P()),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+    return _bind(jax.jit(sharded, donate_argnums=donate_idx))
 
 
 # model outputs that are parameters/scalars, never per-sample rows — the
