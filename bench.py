@@ -126,11 +126,17 @@ def main():
     texts_np[:, 20] = 49407
     texts = jnp.asarray(texts_np)
 
-    def measure(loss_type, gelu, pod_devices=None, token_neighborhood=None):
+    def measure(loss_type, gelu, pod_devices=None, token_neighborhood=None,
+                text_ctx=None):
         if pod_devices is None:
             pod_devices = args.pod_devices
         if token_neighborhood is None:
             token_neighborhood = args.token_neighborhood
+        # data-side context cap (--text-ctx semantics): params stay at the
+        # config's full context, the batch just ships fewer text columns
+        # (EOT sits at col 20 in the synthetic batch, so any cap > 21 keeps
+        # the EOT-argmax pooling well-defined)
+        texts_local = texts if text_ctx is None else texts[:, :text_ctx]
         model = build(gelu)
         tx = create_optimizer(cosine_lr(1e-3, 100, 10000), weight_decay=0.2)
         state = init_train_state(
@@ -168,14 +174,14 @@ def main():
                 teacher=teacher,
                 donate=True,
             )
-        state, metrics = step(state, images, texts)
+        state, metrics = step(state, images, texts_local)
         for _ in range(args.warmup - 1):
-            state, metrics = step(state, images, texts)
+            state, metrics = step(state, images, texts_local)
         jax.block_until_ready(jax.device_get(metrics["total_loss"]))
 
         t0 = time.perf_counter()
         for _ in range(args.steps):
-            state, metrics = step(state, images, texts)
+            state, metrics = step(state, images, texts_local)
         # device_get forces full execution of the chained steps (a bare
         # block_until_ready proved unreliable over the remote-execution relay)
         jax.device_get(metrics["total_loss"])
@@ -186,7 +192,7 @@ def main():
         # this v5e — docs/BENCH.md) rather than the nominal peak.
         tflops = gf_per_img = None
         try:
-            cost = step.lower(state, images, texts).compile().cost_analysis()
+            cost = step.lower(state, images, texts_local).compile().cost_analysis()
             if cost and cost.get("flops"):
                 tflops = cost["flops"] * args.steps / dt / 1e12
                 gf_per_img = cost["flops"] / b / 1e9
@@ -197,6 +203,7 @@ def main():
 
     ips, tflops, gf_per_img = measure(args.loss, args.gelu)
     accum = f", accum {args.accum_freq}" if args.accum_freq > 1 else ""
+    accum += f", text-ctx {args.text_ctx}" if args.text_ctx else ""
     pod = ""
     if args.pod_devices:
         k = args.token_neighborhood or args.pod_devices
@@ -232,6 +239,14 @@ def main():
             tanh_ips, _, _ = measure(args.loss, "tanh")
             secondary[f"{args.loss} loss, tanh-gelu"] = round(tanh_ips, 1)
         if args.loss == "colclip" and not args.pod_devices \
+                and args.accum_freq == 1 and not args.text_ctx \
+                and cfg.text_cfg.context_length > 32:
+            # the local flagship under the short-caption production cap
+            # (lossless for ~99.9% of single-caption web captions)
+            ctx32_ips, _, _ = measure("colclip", args.gelu, text_ctx=32)
+            secondary[f"{args.loss} loss + text-ctx 32 (short-caption "
+                      "cap)"] = round(ctx32_ips, 1)
+        if args.loss == "colclip" and not args.pod_devices \
                 and args.accum_freq == 1:
             # the v5e-64 recipe's per-chip operating point (local_loss +
             # ring + token-neighborhood 8; parallel/pod_shape.py): the
@@ -240,6 +255,15 @@ def main():
                                     pod_devices=64, token_neighborhood=8)
             secondary["colclip pod shape M=64 K=8 (v5e-64 recipe)"] = \
                 round(pod_ips, 1)
+            # the recipes' PRODUCTION point: + the --text-ctx 64 cap
+            # (lossless for 99.85% of merged captions,
+            # scripts/caption_length_stats.py; round-5 measurement)
+            if cfg.text_cfg.context_length > 64:
+                pod64_ips, _, _ = measure("colclip", args.gelu,
+                                          pod_devices=64,
+                                          token_neighborhood=8, text_ctx=64)
+                secondary["colclip pod shape M=64 K=8 + text-ctx 64 "
+                          "(production cap)"] = round(pod64_ips, 1)
         result["secondary"] = secondary
     print(json.dumps(result))
 

@@ -181,13 +181,23 @@ class InferenceEngine:
     single chip the scheme is a no-op.
     """
 
-    def __init__(self, model, params, max_batch: int = 64):
+    def __init__(self, model, params, max_batch: int = 64,
+                 text_ctx_buckets: Tuple[int, ...] = ()):
         import jax
 
         from ..training.evaluate import local_shard_scheme
 
         self.model = model
         self.max_batch = max_batch
+        # ascending short text-context buckets (e.g. (32,)): a wave whose
+        # longest caption fits a bucket encodes [n, bucket] instead of the
+        # full context — the text tower slices its pos-embed to the input
+        # length, and token features past EOT are zeroed by the model, so
+        # zero-padding the token output back to full width is EXACTLY the
+        # full-context result (tests/test_text_ctx.py proves prefix
+        # stability). One extra compiled shape per (bucket, batch-bucket).
+        self.text_ctx_buckets = tuple(sorted(text_ctx_buckets))
+        self.last_text_ctx: Optional[int] = None  # introspection/tests
         self._ship, self.params, self.n_devices = local_shard_scheme(params)
 
         @jax.jit
@@ -225,6 +235,17 @@ class InferenceEngine:
             parts = [self.run(kind, batch[i:i + self.max_batch])
                      for i in range(0, n, self.max_batch)]
             return tuple(jnp.concatenate(cols) for cols in zip(*parts))
+        full_ctx = None
+        if kind == "text" and self.text_ctx_buckets:
+            full_ctx = batch.shape[1]
+            # EOT is the max token id, so argmax finds it per row; the wave
+            # fits a bucket iff every row's EOT lands inside it
+            needed = int(batch.argmax(axis=1).max()) + 1
+            for c in self.text_ctx_buckets:
+                if needed <= c < full_ctx:
+                    batch = batch[:, :c]
+                    break
+            self.last_text_ctx = batch.shape[1]
         b = next_bucket(n, self.max_batch)
         if b != n:
             pad = np.zeros((b - n,) + batch.shape[1:], batch.dtype)
@@ -235,6 +256,13 @@ class InferenceEngine:
         # ship() may pad further to a device-count multiple — still one
         # static shape per bucket, so each bucket compiles exactly once
         out = self._encode[kind](self.params, self._ship(batch))
+        if full_ctx is not None and batch.shape[1] < full_ctx:
+            # restore full-width token features: the tail is EOT-zeroed by
+            # the model, so zeros make this bit-equal to a full-ctx encode
+            out = tuple(
+                jnp.pad(o, ((0, 0), (0, full_ctx - o.shape[1]), (0, 0)))
+                if o.ndim == 3 else o
+                for o in out)
         return tuple(o[:n] for o in out)
 
     def warmup(self, shapes: Dict[str, Tuple[int, ...]]) -> None:
@@ -242,15 +270,23 @@ class InferenceEngine:
         shapes (e.g. {'text': (77,), 'image': (224, 224, 3)}) so no request
         wave ever hits a cold compile."""
         for kind, shape in shapes.items():
+            # text: warm every ctx bucket too (EOT placement routes run()
+            # into each bucket's compiled shape)
+            eot_slots = [None]
+            if kind == "text":
+                full = shape[0]
+                eot_slots = [c - 1 for c in self.text_ctx_buckets
+                             if c < full] + [full - 1]
             b = 1
             while True:
                 dtype = np.int32 if kind == "text" else np.float32
-                batch = np.zeros((min(b, self.max_batch),) + tuple(shape),
-                                 dtype)
-                if kind == "text":
-                    batch[:, 0] = 49406
-                    batch[:, 1] = 49407
-                np.asarray(self.run(kind, batch)[0])
+                for eot in eot_slots:
+                    batch = np.zeros((min(b, self.max_batch),) + tuple(shape),
+                                     dtype)
+                    if kind == "text":
+                        batch[:, 0] = 49406
+                        batch[:, eot] = 49407
+                    np.asarray(self.run(kind, batch)[0])
                 if b >= self.max_batch:
                     break
                 b *= 2
@@ -264,6 +300,7 @@ class ColXLIPService:
                  scoring: str = "global", alpha: float = 0.5,
                  mask_mode: str = "nonzero", quick_gelu: Optional[bool] = None,
                  index_dir: Optional[str] = None,
+                 text_ctx_buckets: Tuple[int, ...] = (),
                  model=None, params=None, cfg=None):
         from ..factory import create_model, init_params, load_weights
         from ..data.tokenizer import get_tokenizer_cached
@@ -291,7 +328,14 @@ class ColXLIPService:
         self.tokenizer = get_tokenizer_cached(cfg.text_cfg.context_length)
         self.transform = image_transform(cfg.vision_cfg.image_size,
                                          is_train=False)
-        self.engine = InferenceEngine(model, params, max_batch=max_batch)
+        bad = [c for c in text_ctx_buckets
+               if not 3 <= c <= cfg.text_cfg.context_length]
+        if bad:
+            raise ValueError(
+                f"text_ctx_buckets {bad} outside [3, "
+                f"{cfg.text_cfg.context_length}] (the model's context)")
+        self.engine = InferenceEngine(model, params, max_batch=max_batch,
+                                      text_ctx_buckets=text_ctx_buckets)
         self._batchers = {
             kind: DynamicBatcher(
                 lambda b, k=kind: self.engine.run(k, b),
@@ -556,6 +600,13 @@ def main(argv=None):
                    help="pre-compile the whole power-of-two bucket ladder "
                         "for both towers before accepting traffic (first "
                         "requests otherwise pay the XLA compile)")
+    p.add_argument("--text-buckets", type=int, nargs="*", default=[],
+                   help="short text-context buckets (e.g. 32): a wave whose "
+                        "longest caption fits encodes [n, bucket] instead "
+                        "of the full context — exact same features (token "
+                        "tail is EOT-zeroed), ~2x text-tower FLOPs saved "
+                        "for short queries; size with "
+                        "scripts/caption_length_stats.py")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -569,6 +620,7 @@ def main(argv=None):
         mask_mode=args.mask_mode,
         quick_gelu=True if args.force_quick_gelu else None,
         index_dir=args.index,
+        text_ctx_buckets=tuple(args.text_buckets),
     )
     if args.warmup:
         s = svc.cfg.vision_cfg.image_size

@@ -53,11 +53,13 @@ class _PrefetchIterator:
 
     _DONE = object()
 
-    def __init__(self, dataloader: Iterable, feeder=None, depth: int = 2):
+    def __init__(self, dataloader: Iterable, feeder=None, depth: int = 2,
+                 trunc_meter: Optional[AverageMeter] = None):
         self._host_q: queue.Queue = queue.Queue(maxsize=depth)
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._feeder = feeder
+        self._trunc_meter = trunc_meter
         self._it = iter(dataloader)
         self._host_thread = threading.Thread(
             target=self._produce_host, daemon=True)
@@ -68,6 +70,14 @@ class _PrefetchIterator:
 
     def _prep(self, images, texts):
         texts = select_caption0(np.asarray(texts))
+        if self._trunc_meter is not None and texts.ndim == 2 and texts.size:
+            # EOT forced into the LAST slot <=> the caption hit the context
+            # cap (tokenizer truncation contract) — makes a mis-sized
+            # --text-ctx visible in the train log instead of silent
+            from ..data.tokenizer import EOT_TOKEN
+
+            self._trunc_meter.update(
+                float((texts[:, -1] == EOT_TOKEN).mean()))
         # keep uint8 batches as-is (device-side normalization / YUV420 wire
         # formats: 2-8x fewer host->device bytes); anything else feeds the
         # step as float32
@@ -219,6 +229,7 @@ def train_one_epoch(
     """
     batch_time_m = AverageMeter()
     data_time_m = AverageMeter()
+    trunc_m = AverageMeter()
     loss_meters: Dict[str, AverageMeter] = {}
 
     raw_it = iter(dataloader)
@@ -230,7 +241,8 @@ def train_one_epoch(
     if steps_per_epoch is not None:
         steps_per_epoch = max(steps_per_epoch - skip_steps, 0)
 
-    prefetch = _PrefetchIterator(raw_it, feeder=feeder, depth=prefetch_depth)
+    prefetch = _PrefetchIterator(raw_it, feeder=feeder, depth=prefetch_depth,
+                                 trunc_meter=trunc_m)
     # read the optimizer step count ONCE; track it host-side afterwards —
     # a per-iteration device_get(state.step) would sync every step and
     # defeat async dispatch (measured 2-4x step-time inflation through the
@@ -243,6 +255,7 @@ def train_one_epoch(
     stopped = False
     metrics = {}
     trace_active = False
+    trunc_warned = False
     try:
         for i, (images, texts) in enumerate(prefetch):
             if steps_per_epoch is not None and i >= steps_per_epoch:
@@ -291,10 +304,20 @@ def train_one_epoch(
                     samples_per_s / max(num_devices, 1), lr,
                     host_metrics.get("logit_scale", float("nan")),
                 )
+                if (not trunc_warned and trunc_m.count
+                        and trunc_m.avg > 0.05):
+                    trunc_warned = True
+                    logger.warning(
+                        "text_trunc_rate %.1f%%: captions are hitting the "
+                        "text context cap — if this feed trains with "
+                        "--text-ctx, the cap may be under-sized "
+                        "(scripts/caption_length_stats.py sizes it)",
+                        100 * trunc_m.avg)
                 if writer is not None:
                     host_metrics.update({
                         "samples_per_second": samples_per_s,
                         "samples_per_second_per_device": samples_per_s / max(num_devices, 1),
+                        "text_trunc_rate": trunc_m.avg,
                         "data_time": data_time_m.val,
                         "batch_time": batch_time_m.val,
                         "lr": lr,

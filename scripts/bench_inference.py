@@ -28,6 +28,11 @@ def main():
     p.add_argument("--int8", action="store_true",
                    help="also measure the int8 PTQ vision encoder "
                         "(colxlip_tpu.serving)")
+    p.add_argument("--text-ctx", type=int, default=0,
+                   help="serve-side ctx bucket A/B: encode [n, ctx] texts "
+                        "instead of the model's full context (the server's "
+                        "--text-buckets path; exact same features for "
+                        "captions that fit)")
     args = p.parse_args()
 
     import jax
@@ -49,11 +54,13 @@ def main():
     # on-device normalize fuses into patchify at ~zero cost
     imgs = jnp.asarray(
         rng.standard_normal((args.batch_size, s, s, 3)), jnp.bfloat16)
-    texts_np = np.zeros((args.text_batch_size, cfg.text_cfg.context_length),
-                        np.int32)
+    ctx = args.text_ctx or cfg.text_cfg.context_length
+    texts_np = np.zeros((args.text_batch_size, ctx), np.int32)
     texts_np[:, 0] = 49406
-    texts_np[:, 1:20] = rng.integers(1, 49000, (args.text_batch_size, 19))
-    texts_np[:, 20] = 49407
+    span = min(19, ctx - 3)
+    texts_np[:, 1:1 + span] = rng.integers(
+        1, 49000, (args.text_batch_size, span))
+    texts_np[:, 1 + span] = 49407
     texts = jnp.asarray(texts_np)
 
     params = model.init(jax.random.PRNGKey(0), imgs[:2], texts[:2])

@@ -39,13 +39,23 @@ LOGS=${LOGS:-./logs}
 # training envelope (colxlip.sh: global batch 2048, full token loss).
 # MEASURED on the v5e chip (round 5, bench.py --pod-devices 64
 # --token-neighborhood 8 --batch-size 256 — the exact per-chip loss math
-# of this recipe, tests/test_pod_shape.py): 330.7 img/s/chip, so ~21k
-# img/s on the v5e-64 before ICI overlap; the 2048-global full-ring
-# envelope (--pod-devices 8, K=0) measures the same 331.1 — the token
-# window, not the pooled bank, sets the cost. The gathered-window
-# alternative to the ring scan measured SLOWER (304.7; --window-mode
-# fused). The cheap pooled InfoNCE keeps ALL 16k/32k global negatives.
-# Set 0 to restore the exact full-global token loss.
+# of this recipe, tests/test_pod_shape.py): 330.7-331.6 img/s/chip across
+# sessions; the 2048-global full-ring envelope (--pod-devices 8, K=0)
+# measures the same 331.1 — the token window, not the pooled bank, sets
+# the cost. The gathered-window alternative to the ring scan measured
+# SLOWER (304.7; --window-mode fused). The cheap pooled InfoNCE keeps ALL
+# 16k/32k global negatives. Set 0 to restore the exact full-global token
+# loss.
+#
+# --text-ctx 64 caps the text context on the data side (model params and
+# every eval path keep 77; the tokenizer forces EOT into the last slot).
+# The merged-caption distribution this recipe trains on fits 64 at 99.85%
+# (scripts/caption_length_stats.py, p95=49) — the 0.15% tail truncates
+# exactly as the reference truncates everything at 77 — and the capped
+# token-CE window is linear in Lt, so the step gets dramatically cheaper:
+# MEASURED 380.6 img/s/chip at this recipe's exact shape (vs 331.6 at
+# ctx 77, +15%; ~24k img/s on the v5e-64). The train log's
+# text_trunc_rate meter warns if a different feed under-sizes the cap.
 #
 # --ship-format yuv420 + --packed-feed: the feed wire format (round 4,
 # ops/yuv420.py + parallel/data_feed.py). 1.5 bytes/px planar YUV 4:2:0
@@ -65,6 +75,7 @@ python -m colxlip_tpu.main \
     --local-loss \
     --token-dist ring \
     --token-neighborhood 8 \
+    --text-ctx 64 \
     --gather-with-grad \
     --ship-format yuv420 \
     --packed-feed \

@@ -30,6 +30,12 @@ LOGS=${LOGS:-./logs}
 #   ViT-L-14 registry tags (pretrained.py; '-colxlip' reuses base weights,
 #   reference factory.py:318-334). Requires the CLIP BPE merges asset
 #   (scripts/fetch_assets.py) — the driver hard-errors without it.
+# - --text-ctx 64: data-side context cap, lossless for 99.85% of the
+#   merged-caption feed (scripts/caption_length_stats.py; params/eval keep
+#   77). Measured at the ViT-B recipe shape: +15% img/s at ctx 64, and the
+#   capped token-CE window is linear in Lt so ViT-L's 512-row window
+#   shrinks the same way. The train log's text_trunc_rate meter warns if a
+#   different feed under-sizes the cap.
 #
 # --ship-format yuv420 + --packed-feed: the feed wire format (round 4,
 # ops/yuv420.py + parallel/data_feed.py). 1.5 bytes/px planar YUV 4:2:0
@@ -50,6 +56,7 @@ python -m colxlip_tpu.main \
     --local-loss \
     --token-dist ring \
     --token-neighborhood 8 \
+    --text-ctx 64 \
     --gather-with-grad \
     --ship-format yuv420 \
     --packed-feed \
