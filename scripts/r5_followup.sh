@@ -36,6 +36,13 @@ run_drift() {
 # production text-ctx cap at the pod shape
 run_bench pod_ctx64 --pod-devices 64 --token-neighborhood 8 --text-ctx 64
 
+# ViT-L: same-session baseline + the cap, local and at the v5e-64 recipe
+# shape (scripts/train_vitl14_v5e64.sh: b64/chip, K=8 -> 512-row window)
+run_bench vitl_base --model ViT-L-14-colxlip --batch-size 64
+run_bench vitl_ctx64 --model ViT-L-14-colxlip --batch-size 64 --text-ctx 64
+run_bench vitl_pod_base --model ViT-L-14-colxlip --batch-size 64 --pod-devices 64 --token-neighborhood 8
+run_bench vitl_pod_ctx64 --model ViT-L-14-colxlip --batch-size 64 --pod-devices 64 --token-neighborhood 8 --text-ctx 64
+
 # int8 drift trajectories (same seed; diff the trajectories host-side)
 run_drift bf16_base
 export COLXLIP_MLP_INT8=fwd
